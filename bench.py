@@ -1,0 +1,61 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Metric: unpaired end-to-end alignment throughput (reads/s) on the bundled
+lambda-phage example (10k reads, 40-354 bp), default sensitive preset —
+the reference repo's own example workload (example/reads/reads_1.fq).
+
+vs_baseline compares against the reference bowtie2-align-s single-thread
+on this container's CPU (measured: 10k reads in ~0.85 s ≈ 11,700 reads/s;
+see BASELINE.md — the repo publishes no absolute numbers, so the locally
+built binary is the baseline).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+REF_READS_PER_SEC = 11700.0   # bowtie2-align-s -p1, this host, lambda 10k
+LAMBDA_FA = "/root/reference/example/reference/lambda_virus.fa"
+LAMBDA_READS = "/root/reference/example/reads/reads_1.fq"
+IDX_PREFIX = "/tmp/bench_lambda_idx"
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bowtie2_tpu.index.build import build_index, load_index, save_index
+    from bowtie2_tpu.io.fastx import iter_reads
+    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    from bowtie2_tpu.pipeline.policy import make_policy
+
+    if not os.path.exists(IDX_PREFIX + ".bt2t.json"):
+        save_index(build_index(LAMBDA_FA), IDX_PREFIX)
+    data = load_index(IDX_PREFIX)
+    records = list(iter_reads(LAMBDA_READS))
+
+    aligner = UnpairedAligner(data, make_policy("sensitive"))
+    BATCH = 1024
+    # warmup on first batch (compile)
+    aligner.align_batch(records[:BATCH])
+
+    aligner2 = UnpairedAligner(data, make_policy("sensitive"))
+    t0 = time.time()
+    n = 0
+    for k in range(0, len(records), BATCH):
+        aligner2.align_batch(records[k:k + BATCH])
+        n += len(records[k:k + BATCH])
+    dt = time.time() - t0
+    rps = n / dt
+    print(json.dumps({
+        "metric": "lambda_unpaired_e2e_reads_per_sec",
+        "value": round(rps, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(rps / REF_READS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from bowtie2_tpu.cli.main import main
+import sys
+sys.exit(main())

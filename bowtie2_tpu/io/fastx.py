@@ -27,19 +27,23 @@ class SeqRecord:
 
 def _open_text(path: str):
     f = open(path, "rb")
-    magic = f.read(2)
-    f.seek(0)
-    if magic == b"\x1f\x8b":
+    if f.seekable():
+        magic = f.read(2)
+        f.seek(0)
+        if magic == b"\x1f\x8b":
+            return io.BufferedReader(gzip.GzipFile(fileobj=f))
+        return f
+    if path.endswith(".gz"):
         return io.BufferedReader(gzip.GzipFile(fileobj=f))
-    return f
+    return io.BufferedReader(f)  # pipe/FIFO: rely on extension for gzip
 
 
-def read_fasta(path: str) -> List[Tuple[str, np.ndarray]]:
+def read_fasta(path: str, _fh=None) -> List[Tuple[str, np.ndarray]]:
     """Parse FASTA → [(name, codes uint8 incl N)]. Name is first whitespace token."""
     out = []
     name = None
     chunks: List[bytes] = []
-    with _open_text(path) as f:
+    with (_fh or _open_text(path)) as f:
         for line in f:
             line = line.rstrip(b"\r\n")
             if line.startswith(b">"):
@@ -54,9 +58,9 @@ def read_fasta(path: str) -> List[Tuple[str, np.ndarray]]:
     return out
 
 
-def iter_fastq(path: str, qual_offset: int = 33) -> Iterator[SeqRecord]:
+def iter_fastq(path: str, qual_offset: int = 33, _fh=None) -> Iterator[SeqRecord]:
     """Stream FASTQ records. Phred+33 by default (--phred64 → 64)."""
-    with _open_text(path) as f:
+    with (_fh or _open_text(path)) as f:
         while True:
             h = f.readline()
             if not h:
@@ -79,17 +83,21 @@ def iter_fastq(path: str, qual_offset: int = 33) -> Iterator[SeqRecord]:
             )
 
 
-def iter_fasta_reads(path: str) -> Iterator[SeqRecord]:
+def iter_fasta_reads(path: str, _fh=None) -> Iterator[SeqRecord]:
     """FASTA as reads: qualities fixed at 40 (reference uses Phred 40 / 'I')."""
-    for name, codes in read_fasta(path):
+    for name, codes in read_fasta(path, _fh=_fh):
         yield SeqRecord(name=name, seq=codes, qual=np.full(codes.size, 40, np.uint8))
 
 
 def iter_reads(path: str, fmt: str = "auto", qual_offset: int = 33) -> Iterator[SeqRecord]:
     if fmt == "auto":
-        with _open_text(path) as f:
-            first = f.read(1)
+        f = _open_text(path)
+        buffered = f if isinstance(f, io.BufferedReader) else io.BufferedReader(f)
+        first = buffered.peek(1)[:1]
         fmt = "fasta" if first == b">" else "fastq"
+        if fmt == "fasta":
+            return iter_fasta_reads(path, _fh=buffered)
+        return iter_fastq(path, qual_offset, _fh=buffered)
     if fmt == "fasta":
         return iter_fasta_reads(path)
     return iter_fastq(path, qual_offset)

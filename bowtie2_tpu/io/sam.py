@@ -1,0 +1,76 @@
+"""SAM output formatting.
+
+Counterpart of the reference's SamConfig/AlnSinkSam (sam.h:56-562,
+aln_sink.h:1296): header (@HD/@SQ/@PG), mandatory fields, and the optional
+field set bowtie2 emits by default, in the same order:
+AS, (XS), XN, XM, XO, XG, NM, (YF), MD, YT.
+
+Records are produced in read (input) order — the ordered-output contract of
+the reference's OutputQueue reorder mode (outq.h:38).
+"""
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from bowtie2_tpu.constants import decode_seq
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_MATE1 = 0x40
+FLAG_MATE2 = 0x80
+FLAG_SECONDARY = 0x100
+
+
+@dataclass
+class SamAlignment:
+    """One output record (aligned or not)."""
+    qname: str
+    flag: int
+    rname: str = "*"
+    pos: int = 0                  # 1-based
+    mapq: int = 0
+    cigar: str = "*"
+    rnext: str = "*"
+    pnext: int = 0
+    tlen: int = 0
+    seq: str = "*"
+    qual: str = "*"
+    opts: List[Tuple[str, str, object]] = field(default_factory=list)
+
+    def line(self) -> str:
+        core = [self.qname, str(self.flag), self.rname, str(self.pos),
+                str(self.mapq), self.cigar, self.rnext, str(self.pnext),
+                str(self.tlen), self.seq, self.qual]
+        for tag, typ, val in self.opts:
+            core.append(f"{tag}:{typ}:{val}")
+        return "\t".join(core)
+
+
+def qual_string(quals, offset: int = 33) -> str:
+    return "".join(chr(int(q) + offset) for q in quals)
+
+
+def cigar_string(ops: List[Tuple[str, int]]) -> str:
+    if not ops:
+        return "*"
+    return "".join(f"{ln}{op}" for op, ln in ops)
+
+
+class SamWriter:
+    def __init__(self, out, ref_names: List[str], ref_lens, prog_args: str,
+                 version: str = "0.1.0"):
+        self.out = out
+        self.ref_names = ref_names
+        out.write("@HD\tVN:1.5\tSO:unsorted\tGO:query\n")
+        for name, ln in zip(ref_names, ref_lens):
+            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+        out.write(f"@PG\tID:bowtie2\tPN:bowtie2-tpu\tVN:{version}\t"
+                  f"CL:\"{prog_args}\"\n")
+
+    def write(self, rec: SamAlignment) -> None:
+        self.out.write(rec.line())
+        self.out.write("\n")

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests on small synthetic genomes (CPU mesh)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from bowtie2_tpu.constants import decode_seq, revcomp  # noqa: E402
+from bowtie2_tpu.index.build import build_index_from_refs  # noqa: E402
+from bowtie2_tpu.io.fastx import SeqRecord  # noqa: E402
+from bowtie2_tpu.pipeline.align import UnpairedAligner  # noqa: E402
+from bowtie2_tpu.pipeline.policy import make_policy  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def genome_and_aligner():
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, 5000).astype(np.uint8)
+    data = build_index_from_refs([("chr_t", genome)], ftab_chars=4)
+    pol = make_policy("sensitive")
+    return genome, UnpairedAligner(data, pol)
+
+
+def _mk(name, codes, qual=35):
+    return SeqRecord(name=name, seq=codes.astype(np.uint8),
+                     qual=np.full(codes.size, qual, np.uint8))
+
+
+def test_perfect_reads_fw_and_rc(genome_and_aligner):
+    genome, al = genome_and_aligner
+    rng = np.random.default_rng(1)
+    recs, poss, orients = [], [], []
+    for k in range(20):
+        L = int(rng.integers(40, 61))
+        p = int(rng.integers(0, genome.size - L))
+        codes = genome[p:p + L].copy()
+        if k % 2:
+            codes = revcomp(codes)
+        recs.append(_mk(f"q{k}", codes))
+        poss.append(p)
+        orients.append(k % 2)
+    out = al.align_batch(recs)
+    assert len(out) == 20
+    for k, rec in enumerate(out):
+        assert rec.flag & 4 == 0, f"read {k} unaligned"
+        assert rec.pos == poss[k] + 1, k
+        assert (rec.flag & 16 != 0) == bool(orients[k]), k
+        assert rec.cigar == f"{recs[k].seq.size}M"
+        d = dict((t, v) for t, _ty, v in rec.opts)
+        assert d["AS"] == 0
+        assert d["NM"] == 0
+
+
+def test_mismatched_reads(genome_and_aligner):
+    genome, al = genome_and_aligner
+    rng = np.random.default_rng(2)
+    recs, poss = [], []
+    for k in range(10):
+        L = 60
+        p = int(rng.integers(0, genome.size - L))
+        codes = genome[p:p + L].copy()
+        mpos = 30 + k
+        codes[mpos % L] = (codes[mpos % L] + 1) % 4
+        recs.append(_mk(f"m{k}", codes))
+        poss.append(p)
+    out = al.align_batch(recs)
+    for k, rec in enumerate(out):
+        assert rec.flag & 4 == 0
+        assert rec.pos == poss[k] + 1
+        d = dict((t, v) for t, _ty, v in rec.opts)
+        assert d["XM"] == 1 and d["NM"] == 1
+        # qual 35 → penalty 2 + 35*4//40 = 5
+        assert d["AS"] == -5
+
+
+def test_indel_read(genome_and_aligner):
+    import re
+    genome, al = genome_and_aligner
+    p = 1000
+    # 60bp read with 2bp deletion after 30 genome chars
+    codes = np.concatenate([genome[p:p + 30], genome[p + 32:p + 62]])
+    out = al.align_batch([_mk("d0", codes)])
+    rec = out[0]
+    assert rec.flag & 4 == 0
+    assert rec.pos == p + 1
+    # deletion placement may shift within a repeat (equal score); stats fixed
+    m = re.fullmatch(r"(\d+)M2D(\d+)M", rec.cigar)
+    assert m and int(m.group(1)) + int(m.group(2)) == 60, rec.cigar
+    d = dict((t, v) for t, _ty, v in rec.opts)
+    assert d["AS"] == -11 and d["XO"] == 1 and d["XG"] == 2 and d["NM"] == 2
+
+
+def test_garbage_read_unaligned(genome_and_aligner):
+    genome, al = genome_and_aligner
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 50).astype(np.uint8)
+    out = al.align_batch([_mk("g0", codes)])
+    # random 50-mer almost surely unalignable end-to-end within -30.6 budget
+    assert out[0].flag & 4
+
+
+def test_n_filtered_read(genome_and_aligner):
+    genome, al = genome_and_aligner
+    codes = genome[100:160].copy()
+    codes[:30] = 4  # 30 Ns > nceil(60) = 9
+    out = al.align_batch([_mk("n0", codes)])
+    assert out[0].flag & 4
+    assert ("YF", "Z", "NS") in out[0].opts
+
+
+def test_multi_mapping_read_has_xs(genome_and_aligner):
+    genome, al = genome_and_aligner
+    # plant a duplicated 70bp segment: read maps to both copies equally
+    rng = np.random.default_rng(4)
+    seg = rng.integers(0, 4, 70).astype(np.uint8)
+    g2 = np.concatenate([genome[:1000], seg, genome[1000:2000], seg,
+                         genome[2000:3000]])
+    data = build_index_from_refs([("dup", g2)], ftab_chars=4)
+    al2 = UnpairedAligner(data, make_policy("sensitive"))
+    out = al2.align_batch([_mk("x0", seg.copy())])
+    rec = out[0]
+    assert rec.flag & 4 == 0
+    d = dict((t, v) for t, _ty, v in rec.opts)
+    assert d["AS"] == 0 and d.get("XS") == 0
+    assert rec.mapq <= 1  # equal best elsewhere → mapq 0/1
+
+
+def test_local_mode_soft_clip():
+    rng = np.random.default_rng(12)
+    genome = rng.integers(0, 4, 4000).astype(np.uint8)
+    data = build_index_from_refs([("loc", genome)], ftab_chars=4)
+    al = UnpairedAligner(data, make_policy("sensitive", local=True))
+    # read = 10 garbage + 50 genome: local should clip the garbage
+    p = 700
+    codes = np.concatenate([
+        (genome[p - 10:p] + 2) % 4,           # corrupt prefix
+        genome[p:p + 50]]).astype(np.uint8)
+    out = al.align_batch([_mk("l0", codes)])
+    rec = out[0]
+    assert rec.flag & 4 == 0
+    assert rec.cigar.startswith("10S") or rec.cigar.endswith("S")
+    assert rec.pos == p + 1
