@@ -20,15 +20,15 @@ from bowtie2_tpu.index.build import HalfIndex, IndexData
 
 
 class FMHalf(NamedTuple):
-    n: jnp.ndarray          # int32 scalar, joined text length
-    z_off: jnp.ndarray      # int32 scalar
-    bwt_words: jnp.ndarray  # uint32[nblocks*8]
-    occ_cp: jnp.ndarray     # int32[nblocks, 4]
-    fchr: jnp.ndarray       # int32[5]
-    ftab: jnp.ndarray       # int32[2*4^K+1]
-    mark_words: jnp.ndarray  # uint32[nblocks*4] (zeros if absent)
-    mark_cp: jnp.ndarray     # int32[nblocks]
-    offs: jnp.ndarray        # int32[n_marked]
+    n: jnp.ndarray           # int32 scalar, joined text length
+    z_off: jnp.ndarray       # int32 scalar
+    bwt_blocks: jnp.ndarray  # uint32[nblocks, 8] — one row per 128-base block
+    occ_cp: jnp.ndarray      # int32[nblocks, 4]
+    fchr: jnp.ndarray        # int32[5]
+    ftab: jnp.ndarray        # int32[2*4^K+1]
+    mark_blocks: jnp.ndarray  # uint32[nblocks, 4] (zeros if absent)
+    mark_cp: jnp.ndarray      # int32[nblocks]
+    offs: jnp.ndarray         # int32[n_marked]
 
 
 class FMIndex(NamedTuple):
@@ -52,11 +52,11 @@ class FMIndex(NamedTuple):
             offs = h.offs if h.offs is not None else np.zeros(1, dtype=np.int32)
             return FMHalf(
                 n=jnp.int32(h.n), z_off=jnp.int32(h.z_off),
-                bwt_words=jnp.asarray(h.bwt_words),
+                bwt_blocks=jnp.asarray(h.bwt_words.reshape(nblocks, -1)),
                 occ_cp=jnp.asarray(h.occ_cp),
                 fchr=jnp.asarray(h.fchr),
                 ftab=jnp.asarray(h.ftab),
-                mark_words=jnp.asarray(mark),
+                mark_blocks=jnp.asarray(mark.reshape(nblocks, -1)),
                 mark_cp=jnp.asarray(markcp),
                 offs=jnp.asarray(offs),
             )

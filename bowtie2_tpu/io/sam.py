@@ -50,8 +50,11 @@ class SamAlignment:
         return "\t".join(core)
 
 
+import numpy as np
+
+
 def qual_string(quals, offset: int = 33) -> str:
-    return "".join(chr(int(q) + offset) for q in quals)
+    return (np.asarray(quals, dtype=np.uint8) + offset).tobytes().decode("ascii")
 
 
 def cigar_string(ops: List[Tuple[str, int]]) -> str:

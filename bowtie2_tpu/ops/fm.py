@@ -3,17 +3,26 @@
 The reference walks the BWT one read at a time with prefetch games to hide
 HBM latency (aligner_seed.cpp:624,884-912 interleaves a handful of state
 machines; bt2_idx.h:382-421 SideLocus prefetch). On TPU the same latency
-hiding is real vectorization: every op here is written for ONE search state
-and `jax.vmap`-ed over thousands, so each LF step is a single batched gather
-from the device-resident index plus a 128-lane unpack/compare/sum on the VPU.
+hiding is real vectorization: every op here carries a (B,) batch of search
+states through a `lax.scan`, so each LF step is one batched row-gather from
+the device-resident index plus 128-lane unpack/compare/sum work on the VPU.
 
 Core math (classic FM index, = reference Ebwt::mapLF bt2_idx.h:2313):
     LF(i, c)  = fchr[c] + Occ(c, i)
     Occ(c, i) = #occurrences of c in bwt[0:i)
-Occ is resolved as: checkpoint count for i's 128-base block (occ_cp gather)
-+ in-block count from 8 uint32 words unpacked to 128 2-bit crumbs.
+Occ is resolved as: checkpoint count for i's 128-base block (occ_cp row
+gather) + in-block count from 8 uint32 words unpacked to 128 2-bit crumbs.
 The sentinel row (z_off) stores a spurious 'A' which is subtracted when
 (c == 0 and i > z_off) — same trick as the reference's $ handling.
+
+Performance notes (measured on TPU v5e):
+  * Row gathers MUST be `jnp.take(table2d, idx, axis=0)`. vmapped
+    `dynamic_slice` lowers ~30x slower (954ms vs 32ms for a 384-step,
+    2048-lane scan).
+  * `lax.scan` costs ~0.1ms/step regardless of width, so states are batched
+    as wide as possible and step counts kept minimal (seeds scan seed_len
+    steps, SA walks scan 2^offrate steps).
+  * Tiny tables (fchr, 5 entries) are reduced with masked sums, not gathers.
 
 All row indices are int32 (genomes < 2 GiB joined; the int64 ".bt2l"
 equivalent is a planned dtype switch, reference btypes.h).
@@ -28,69 +37,78 @@ import jax.numpy as jnp
 from bowtie2_tpu.constants import OCC_BLOCK, WORDS_PER_BLOCK
 from bowtie2_tpu.index.fmindex import FMHalf
 
-_CRUMB_SHIFTS = 2 * jnp.arange(16, dtype=jnp.uint32)
 _LANE = jnp.arange(OCC_BLOCK, dtype=jnp.int32)
-
-def _dyn(arr, i):
-    """Scalar load arr[i] via dynamic_slice.
-
-    Inside lax.scan bodies, advanced-index gathers compile pathologically
-    slowly on the TPU backend (~500s); dynamic_slice compiles in <1s. Every
-    scalar index load in this module must go through here.
-    """
-    return jax.lax.dynamic_index_in_dim(arr, i, keepdims=False)
+_CRUMB_SHIFTS = 2 * jnp.arange(16, dtype=jnp.uint32)
+_CHARS4 = jnp.arange(4, dtype=jnp.int32)
 
 
-def _dyn_row(arr2d, i):
-    """Row load arr2d[i, :] via dynamic_slice."""
-    return jax.lax.dynamic_slice_in_dim(arr2d, i, 1, axis=0)[0]
+def _crumbs(block_rows: jnp.ndarray) -> jnp.ndarray:
+    """(B, 8) uint32 words → (B, 128) int32 2-bit crumbs."""
+    B = block_rows.shape[0]
+    c = (block_rows[:, :, None] >> _CRUMB_SHIFTS[None, None, :]) & jnp.uint32(3)
+    return c.reshape(B, OCC_BLOCK).astype(jnp.int32)
 
 
-
-def _block_crumbs(half: FMHalf, block: jnp.ndarray) -> jnp.ndarray:
-    """Unpack one 128-base occ block → (128,) int32 crumbs. block: scalar."""
-    words = jax.lax.dynamic_slice(
-        half.bwt_words, (block * WORDS_PER_BLOCK,), (WORDS_PER_BLOCK,))
-    crumbs = (words[:, None] >> _CRUMB_SHIFTS[None, :]) & jnp.uint32(3)
-    return crumbs.reshape(OCC_BLOCK).astype(jnp.int32)
+def _fchr_at(half: FMHalf, c: jnp.ndarray) -> jnp.ndarray:
+    """fchr[c] for (B,) chars via masked sum (5-entry table)."""
+    sel = (c[:, None] == _CHARS4[None, :])
+    return jnp.sum(jnp.where(sel, half.fchr[None, :4], 0), axis=1)
 
 
-def occ(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """#occurrences of char c in bwt[0:i). Scalar i, c; vmap for batches."""
+def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """#occurrences of per-state char c in bwt[0:i). i, c: (B,) int32."""
     block = i // OCC_BLOCK
-    crumbs = _block_crumbs(half, block)
-    in_block = jnp.sum(((crumbs == c) & (_LANE < (i - block * OCC_BLOCK))).astype(jnp.int32))
-    cp = _dyn(_dyn_row(half.occ_cp, block), c)
+    crumbs = _crumbs(jnp.take(half.bwt_blocks, block, axis=0))
+    inb = jnp.sum(((crumbs == c[:, None]) &
+                   (_LANE[None, :] < (i - block * OCC_BLOCK)[:, None])
+                   ).astype(jnp.int32), axis=1)
+    cp_rows = jnp.take(half.occ_cp, block, axis=0)            # (B, 4)
+    cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cp_rows, 0), axis=1)
     corr = ((c == 0) & (i > half.z_off)).astype(jnp.int32)
-    return cp + in_block - corr
+    return cp + inb - corr
+
+
+def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4) occurrence counts of every char in bwt[0:i). i: (B,)."""
+    block = i // OCC_BLOCK
+    crumbs = _crumbs(jnp.take(half.bwt_blocks, block, axis=0))
+    mask = _LANE[None, :] < (i - block * OCC_BLOCK)[:, None]
+    onehot = (crumbs[:, :, None] == _CHARS4[None, None, :])
+    cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1)
+    corr = jnp.where((_CHARS4[None, :] == 0) & (i > half.z_off)[:, None], 1, 0)
+    return jnp.take(half.occ_cp, block, axis=0) + cnt - corr
+
+
+def lf_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Batched LF mapping (reference mapLF). i, c: (B,)."""
+    return _fchr_at(half, c) + occ_batch(half, i, c)
+
+
+# scalar wrappers kept for tests / host poking (vmap-able, but slow path)
+def occ(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    return occ_batch(half, i[None] if i.ndim == 0 else i,
+                     jnp.broadcast_to(c, (1,)) if c.ndim == 0 else c)[0]
 
 
 def occ4(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
-    """(4,) occurrence counts of every char in bwt[0:i)."""
-    block = i // OCC_BLOCK
-    crumbs = _block_crumbs(half, block)
-    mask = (_LANE < (i - block * OCC_BLOCK))
-    onehot = (crumbs[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :])
-    cnt = jnp.sum((onehot & mask[:, None]).astype(jnp.int32), axis=0)
-    corr = jnp.where((jnp.arange(4) == 0) & (i > half.z_off), 1, 0)
-    return _dyn_row(half.occ_cp, block) + cnt - corr
+    return occ4_batch(half, i[None])[0]
 
 
 def lf(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """LF mapping for char c at row bound i (reference mapLF)."""
-    return _dyn(half.fchr, c) + occ(half, i, c)
-
-
-def bwt_char(half: FMHalf, r: jnp.ndarray) -> jnp.ndarray:
-    """BWT char (0..3) at row r. Undefined at r == z_off (caller avoids)."""
-    word = _dyn(half.bwt_words, r // 16)
-    return ((word >> (2 * (r % 16)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
+    return lf_batch(half, i[None], c[None])[0]
 
 
 def ftab_lookup(half: FMHalf, key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(top, bot) SA range of the K-mer with base-4 integer `key`."""
     pair = jax.lax.dynamic_slice(half.ftab, (2 * key + 1,), (2,))
     return pair[0], pair[1]
+
+
+def ftab_lookup_batch(half: FMHalf, keys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ftab range lookup. keys: (B,) base-4 ints (first K chars)."""
+    top = jnp.take(half.ftab, 2 * keys + 1)
+    bot = jnp.take(half.ftab, 2 * keys + 2)
+    return top, bot
 
 
 # ----------------------------------------------------------------------
@@ -107,23 +125,29 @@ class SweepResult(NamedTuple):
     nedit: jnp.ndarray   # lower bound on edits; 0 → [top,bot) are exact hits
 
 
-def _exact_sweep_one(half: FMHalf, read: jnp.ndarray, length: jnp.ndarray) -> SweepResult:
-    """read: (Lmax,) int32 codes (4=N); length: scalar."""
-    Lmax = read.shape[0]
-    nrows = half.n + 1
+@jax.jit
+def exact_sweep(half: FMHalf, reads: jnp.ndarray, lengths: jnp.ndarray) -> SweepResult:
+    """Batched exact sweep. reads: (B, Lmax) int32 codes (4=N); lengths: (B,)."""
+    B, Lmax = reads.shape
+    nrows = (half.n + 1).astype(jnp.int32)
 
-    def step(carry, p):
+    # right-to-left chars, aligned so column p holds read[length-1-p];
+    # code 5 marks inactive steps (p >= length)
+    pos = lengths[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    rr = jnp.take_along_axis(reads, jnp.clip(pos, 0, Lmax - 1), axis=1)
+    rr = jnp.where(pos >= 0, rr, 5)
+
+    def step(carry, c):
         top, bot, nedit = carry
-        active = p < length
-        pos = length - 1 - p            # right-to-left
-        c = _dyn(read, jnp.clip(pos, 0, Lmax - 1))
+        active = c < 5                          # padded steps are 5
         is_n = c >= 4
         cc = jnp.clip(c, 0, 3)
-        fc = _dyn(half.fchr, cc)
-        ntop = fc + occ(half, top, cc)
-        nbot = fc + occ(half, bot, cc)
+        fc = _fchr_at(half, cc)
+        o2 = occ_batch(half, jnp.concatenate([top, bot]),
+                       jnp.concatenate([cc, cc]))
+        ntop = fc + o2[:B]
+        nbot = fc + o2[B:]
         empty = (ntop >= nbot) | is_n
-        # on empty: count an edit, reset to full range (restart after pos)
         top2 = jnp.where(empty, 0, ntop)
         bot2 = jnp.where(empty, nrows, nbot)
         nedit2 = nedit + jnp.where(empty, 1, 0)
@@ -132,48 +156,18 @@ def _exact_sweep_one(half: FMHalf, read: jnp.ndarray, length: jnp.ndarray) -> Sw
         nedit = jnp.where(active, nedit2, nedit)
         return (top, bot, nedit), None
 
-    (top, bot, nedit), _ = jax.lax.scan(
-        step, (jnp.int32(0), nrows.astype(jnp.int32), jnp.int32(0)),
-        jnp.arange(Lmax, dtype=jnp.int32))
+    init = (jnp.zeros(B, jnp.int32),
+            jnp.broadcast_to(nrows, (B,)).astype(jnp.int32),
+            jnp.zeros(B, jnp.int32))
+    (top, bot, nedit), _ = jax.lax.scan(step, init, rr.T)
     return SweepResult(top, bot, nedit)
-
-
-@partial(jax.jit, static_argnames=())
-def exact_sweep(half: FMHalf, reads: jnp.ndarray, lengths: jnp.ndarray) -> SweepResult:
-    """Batched exact sweep. reads: (B, Lmax) int32; lengths: (B,)."""
-    return jax.vmap(_exact_sweep_one, in_axes=(None, 0, 0))(half, reads, lengths)
 
 
 # ----------------------------------------------------------------------
 # Exact seed search: backward search of fixed-length seeds, no restart —
 # empty range means no hit (reference searchSeedBi with -N 0,
-# aligner_seed.cpp:1859; exact case needs no bidirectional machinery).
+# aligner_seed.cpp:1859; the exact case needs no bidirectional machinery).
 # ----------------------------------------------------------------------
-
-def _seed_search_one(half: FMHalf, seed: jnp.ndarray, valid: jnp.ndarray,
-                     seed_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """seed: (seed_len,) int32 codes; valid: scalar bool. → (top, bot)."""
-    nrows = half.n + 1
-
-    def step(carry, p):
-        top, bot = carry
-        pos = seed_len - 1 - p
-        c = _dyn(seed, pos)
-        is_n = c >= 4
-        cc = jnp.clip(c, 0, 3)
-        alive = top < bot
-        fc = _dyn(half.fchr, cc)
-        ntop = fc + occ(half, top, cc)
-        nbot = fc + occ(half, bot, cc)
-        ntop = jnp.where(is_n | ~alive, 1, ntop)
-        nbot = jnp.where(is_n | ~alive, 0, nbot)
-        return (ntop, nbot), None
-
-    init = (jnp.int32(0), jnp.where(valid, nrows.astype(jnp.int32), 0))
-    (top, bot), _ = jax.lax.scan(step, init, jnp.arange(seed_len, dtype=jnp.int32))
-    bot = jnp.maximum(top, bot)
-    return top, bot
-
 
 @partial(jax.jit, static_argnames=("seed_len",))
 def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
@@ -182,47 +176,81 @@ def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
 
     Returns (top, bot) each (B,); empty ranges have top == bot.
     """
-    return jax.vmap(_seed_search_one, in_axes=(None, 0, 0, None))(
-        half, seeds, valid, seed_len)
+    B = seeds.shape[0]
+    nrows = (half.n + 1).astype(jnp.int32)
+
+    def step(carry, c):
+        top, bot = carry
+        is_n = c >= 4
+        cc = jnp.clip(c, 0, 3)
+        alive = top < bot
+        fc = _fchr_at(half, cc)
+        o2 = occ_batch(half, jnp.concatenate([top, bot]),
+                       jnp.concatenate([cc, cc]))
+        ntop = fc + o2[:B]
+        nbot = fc + o2[B:]
+        dead = is_n | ~alive
+        ntop = jnp.where(dead, 1, ntop)
+        nbot = jnp.where(dead, 0, nbot)
+        return (ntop, nbot), None
+
+    init = (jnp.zeros(B, jnp.int32),
+            jnp.where(valid, nrows, 0).astype(jnp.int32))
+    (top, bot), _ = jax.lax.scan(step, init, seeds[:, ::-1].T)
+    return top, jnp.maximum(top, bot)
 
 
 # ----------------------------------------------------------------------
 # SA-offset resolution: walk rows leftward with LF until a marked row
 # (reference GroupWalk2S/walkLeft, group_walk.h + bt2_idx.h:1607). Our index
-# marks by text position (pos % 32 == 0) so the walk is bounded by 32 steps:
-# a fixed-trip-count lax.scan instead of a data-dependent while loop.
+# marks by text position (pos % 2^offrate == 0) so the walk is bounded by
+# 2^offrate steps: a fixed-trip-count lax.scan, not a while loop.
 # ----------------------------------------------------------------------
 
-def _is_marked_and_rank(half: FMHalf, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    word_i = r // 32
-    bit = (_dyn(half.mark_words, word_i) >> (r % 32).astype(jnp.uint32)) & jnp.uint32(1)
-    block = r // OCC_BLOCK
-    words = jax.lax.dynamic_slice(half.mark_words, (block * 4,), (4,))
-    bits = (words[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
-    bits = bits.reshape(128).astype(jnp.int32)
-    in_block = jnp.sum(bits * (_LANE < (r - block * OCC_BLOCK)))
-    return bit == 1, _dyn(half.mark_cp, block) + in_block
+_BIT_SHIFTS = jnp.arange(32, dtype=jnp.uint32)
 
 
-def _walk_one(half: FMHalf, r: jnp.ndarray, period: int) -> jnp.ndarray:
-    """Resolve one BWT row to its joined-text offset."""
+def _mark_bits(half: FMHalf, block: jnp.ndarray) -> jnp.ndarray:
+    """(B,) block ids → (B, 128) int32 0/1 mark bits."""
+    words = jnp.take(half.mark_blocks, block, axis=0)         # (B, 4)
+    bits = (words[:, :, None] >> _BIT_SHIFTS[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(-1, OCC_BLOCK).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("period",))
+def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray:
+    """Batched BWT row → joined text offset. rows: (B,) int32."""
+    B = rows.shape[0]
+
     def step(carry, _):
         row, steps, done = carry
-        marked, _ = _is_marked_and_rank(half, row)
+        block = row // OCC_BLOCK
+        pos = row - block * OCC_BLOCK                       # (B,)
+        bwt_rows = jnp.take(half.bwt_blocks, block, axis=0)
+        crumbs = _crumbs(bwt_rows)                          # (B, 128)
+        at = (_LANE[None, :] == pos[:, None])
+        c = jnp.sum(jnp.where(at, crumbs, 0), axis=1)       # bwt char at row
+        marked = jnp.sum(jnp.where(at, _mark_bits(half, block), 0), axis=1) == 1
         done_now = done | marked
-        c = bwt_char(half, row)
-        nrow = _dyn(half.fchr, c) + occ(half, row, c)
+        # occ(row, c) using the already-gathered block
+        lt = _LANE[None, :] < pos[:, None]
+        inb = jnp.sum(((crumbs == c[:, None]) & lt).astype(jnp.int32), axis=1)
+        cp_rows = jnp.take(half.occ_cp, block, axis=0)
+        cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cp_rows, 0), axis=1)
+        corr = ((c == 0) & (row > half.z_off)).astype(jnp.int32)
+        nrow = _fchr_at(half, c) + cp + inb - corr
         row = jnp.where(done_now, row, nrow)
         steps = jnp.where(done_now, steps, steps + 1)
         return (row, steps, done_now), None
 
     (row, steps, _), _ = jax.lax.scan(
-        step, (r, jnp.int32(0), jnp.bool_(False)), None, length=period)
-    _, rank = _is_marked_and_rank(half, row)
-    return _dyn(half.offs, rank) + steps
+        step, (rows, jnp.zeros(B, jnp.int32), jnp.zeros(B, bool)),
+        None, length=period)
 
-
-@partial(jax.jit, static_argnames=("period",))
-def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray:
-    """Batched row → joined text offset. rows: (B,) int32."""
-    return jax.vmap(_walk_one, in_axes=(None, 0, None))(half, rows, period)
+    # rank of the marked row → offs[]
+    block = row // OCC_BLOCK
+    pos = row - block * OCC_BLOCK
+    bits = _mark_bits(half, block)
+    inb = jnp.sum(bits * (_LANE[None, :] < pos[:, None]), axis=1)
+    rank = jnp.take(half.mark_cp, block) + inb
+    return jnp.take(half.offs, rank) + steps

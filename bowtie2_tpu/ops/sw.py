@@ -13,19 +13,25 @@ with a *diagonal-banded* formulation natural to the VPU:
     resolved exactly with a max-plus prefix scan (Kogge-Stone, log2(W)
     shift/max steps). This is the "lazy-F" identity the SSE kernels exploit
     (aligner_swsse_ee_u8.cpp lazy-F loop), done as a scan instead of a loop.
-  * vmap over thousands of problems; scoring matches scoring.h defaults
-    exactly in int32 (match 0 / mismatch -(2..6 by qual, MMP Q,6,2) /
-    N -1 / gaps -(5+3k)) so scores are bit-identical to the reference's.
+  * The whole batch advances one row per scan step: carries are (B, W)
+    registers, per-row inputs arrive as scan xs (reads/quals transposed) or
+    one uniform dynamic_slice of the ref windows — there is NO per-problem
+    gather anywhere in the hot loop (vmapped dynamic_slice measured ~30x
+    slower than this formulation on v5e).
+  * Scoring matches scoring.h defaults exactly in int32 (match 0 / mismatch
+    -(2..6 by qual, MMP Q,6,2) / N -1 / gaps -(5+3k)) so scores are
+    bit-identical to the reference's.
 
 End-to-end mode: whole read must align (rows are mandatory); start/end
 column free within the band (the framer's st_/en_ windows, dp_framer.h:59).
 Local mode: scores clamp at 0, match bonus +2, best cell anywhere wins
 (soft clipping recovered in backtrace).
 
-Traceback directions are emitted per cell (packed uint8) and walked on the
-host (bowtie2_tpu/pipeline/backtrace.py); on-TPU memory is cheap enough at
-short-read scale to skip the reference's checkpoint/mini-fill machinery
-(sse_util.h Checkpointer, aligner_bt.h) below ~2 kbp reads.
+Traceback: per-cell direction bits are kept in device memory ((Lmax, B, W)
+uint8 — on-TPU HBM is cheap enough at short-read scale to skip the
+reference's checkpoint/mini-fill machinery, sse_util.h / aligner_bt.h) and
+walked by `backtrace` ON DEVICE; only ~1 byte/step/alignment of packed op
+codes returns to the host, where CIGAR/MD strings are assembled.
 """
 
 from functools import partial
@@ -69,7 +75,7 @@ class SWResult(NamedTuple):
     score: jnp.ndarray    # (B,) int32 best alignment score
     row: jnp.ndarray      # (B,) int32 row of best end (== read_len-1 for e2e)
     lane: jnp.ndarray     # (B,) int32 lane (diagonal) of best end
-    dirs: jnp.ndarray     # (B, Lmax, W) uint8 traceback directions
+    dirs: jnp.ndarray     # (Lmax, B, W) uint8 traceback directions
 
 
 def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
@@ -87,39 +93,44 @@ def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _sw_one(read, quals, read_len, refwin, p: SWParams, G: int):
-    """One banded DP problem.
+@partial(jax.jit, static_argnames=("params", "band"))
+def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
+              refwins: jnp.ndarray, params: SWParams, band: int) -> SWResult:
+    """Batched banded DP.
 
-    read: (Lmax,) int32 codes 0..4 (4=N); quals: (Lmax,) int32;
-    read_len: scalar int32; refwin: (Lmax + 2G,) int32 codes 0..5
-    (4=N, 5=out-of-reference). refwin[G + i + d] is the ref char at
+    reads: (B, Lmax) int32 codes 0..4 (4=N); quals: (B, Lmax) int32;
+    read_lens: (B,) int32; refwins: (B, Lmax + 2*band) int32 codes 0..5
+    (4=N, 5=out-of-reference). refwins[b, G + i + d] is the ref char at
     read row i, diagonal d; lane j holds d = j - G, W = 2G+1 lanes.
     """
-    Lmax = read.shape[0]
+    p = params
+    G = band
+    B, Lmax = reads.shape
     W = 2 * G + 1
-    mmpen = mm_penalty_from_qual(quals, p)
+    mmpen_t = mm_penalty_from_qual(quals, p).T          # (Lmax, B)
+    reads_t = reads.T                                   # (Lmax, B)
     lane_e = jnp.arange(W, dtype=jnp.int32) * p.read_gap_extend
 
     rgo = p.read_gap_open + p.read_gap_extend   # first read-gap char
     fgo = p.ref_gap_open + p.ref_gap_extend     # first ref-gap char
 
-    def row_fn(carry, i):
-        h_prev, e_prev, best, best_row, best_lane = carry
-        active = i < read_len
-        rc = jax.lax.dynamic_index_in_dim(read, i, keepdims=False)
-        qp = jax.lax.dynamic_index_in_dim(mmpen, i, keepdims=False)
-        refc = jax.lax.dynamic_slice(refwin, (i,), (W,))
+    def row_fn(carry, xs):
+        h_prev, e_prev, best, best_row, best_lane, i = carry
+        rc, qp = xs                                     # (B,), (B,)
+        active = i < read_lens
+        refc = jax.lax.dynamic_slice(refwins, (0, i), (B, W))
 
-        is_n = (rc >= 4) | (refc == 4)
+        is_n = (rc[:, None] >= 4) | (refc == 4)
         oob = refc >= 5
-        eq = (refc == rc) & ~is_n & ~oob
+        eq = (refc == rc[:, None]) & ~is_n & ~oob
         sub = jnp.where(eq, p.match_bonus,
-              jnp.where(is_n & ~oob, -p.n_pen, -qp))
+              jnp.where(is_n & ~oob, -p.n_pen, -qp[:, None]))
         sub = jnp.where(oob, NEG_INF // 2, sub)
 
         # E (ref gap, vertical): from previous row, lane j+1
-        h_up = jnp.concatenate([h_prev[1:], jnp.full((1,), NEG_INF)])
-        e_up = jnp.concatenate([e_prev[1:], jnp.full((1,), NEG_INF)])
+        pad = jnp.full((B, 1), NEG_INF)
+        h_up = jnp.concatenate([h_prev[:, 1:], pad], axis=1)
+        e_up = jnp.concatenate([e_prev[:, 1:], pad], axis=1)
         e_open = h_up - fgo
         e_ext = e_up - p.ref_gap_extend
         e_cur = jnp.maximum(e_open, e_ext)
@@ -133,9 +144,10 @@ def _sw_one(read, quals, read_len, refwin, p: SWParams, G: int):
         # F (read gap, horizontal): a gap run from lane k to lane j consumes
         # j-k ref chars and costs rgo + (j-k-1)*ext, so
         #   F[j] = max_{k<j} (h_noF[k] + k*ext) - rgo + ext - j*ext
-        f_cur = _prefix_max_excl(h_noF - rgo + p.read_gap_extend + lane_e) - lane_e
+        f_cur = _prefix_max_excl(h_noF - rgo + p.read_gap_extend
+                                 + lane_e[None, :]) - lane_e[None, :]
         # F-from-extension marker: whether the maximizing k is < j-1
-        f_open = jnp.concatenate([jnp.full((1,), NEG_INF), h_noF[:-1]]) - rgo
+        f_open = jnp.concatenate([pad, h_noF[:, :-1]], axis=1) - rgo
         f_from_ext = f_cur > f_open
 
         h_cur = jnp.maximum(h_noF, f_cur)
@@ -146,47 +158,152 @@ def _sw_one(read, quals, read_len, refwin, p: SWParams, G: int):
             h_cur = jnp.where(clamp, 0, h_cur)
             src = jnp.where(clamp, jnp.uint8(H_START), src)
 
+        h_cur = jnp.maximum(h_cur, NEG_INF)   # floor: no int32 underflow drift
+
         dirbits = (src
-                   | (jnp.where(e_from_ext, 4, 0)).astype(jnp.uint8)
-                   | (jnp.where(f_from_ext, 8, 0)).astype(jnp.uint8))
+                   | jnp.where(e_from_ext, 4, 0).astype(jnp.uint8)
+                   | jnp.where(f_from_ext, 8, 0).astype(jnp.uint8))
 
         # best tracking: e2e → only at final row; local → any cell
+        row_best_lane = jnp.argmax(h_cur, axis=1).astype(jnp.int32)
+        row_best = jnp.max(h_cur, axis=1)
         if p.local:
-            row_best_lane = jnp.argmax(h_cur).astype(jnp.int32)
-            row_best = h_cur[row_best_lane]
             take = active & (row_best > best)
         else:
-            row_best_lane = jnp.argmax(h_cur).astype(jnp.int32)
-            row_best = h_cur[row_best_lane]
-            take = (i == read_len - 1)
+            take = (i == read_lens - 1)
         best = jnp.where(take, row_best, best)
         best_row = jnp.where(take, i, best_row)
         best_lane = jnp.where(take, row_best_lane, best_lane)
 
-        h_out = jnp.where(active, h_cur, h_prev)
-        e_out = jnp.where(active, e_cur, e_prev)
-        return (h_out, e_out, best, best_row, best_lane), dirbits
+        h_out = jnp.where(active[:, None], h_cur, h_prev)
+        e_out = jnp.where(active[:, None], e_cur, e_prev)
+        return (h_out, e_out, best, best_row, best_lane, i + 1), dirbits
 
-    h0 = jnp.zeros((W,), jnp.int32)          # free start on row -1, any lane
-    e0 = jnp.full((W,), NEG_INF)
-    init = (h0, e0, NEG_INF, jnp.int32(0), jnp.int32(0))
-    (h, e, best, best_row, best_lane), dirs = jax.lax.scan(
-        row_fn, init, jnp.arange(Lmax, dtype=jnp.int32))
-    return best, best_row, best_lane, dirs
+    h0 = jnp.zeros((B, W), jnp.int32)          # free start on row -1, any lane
+    e0 = jnp.full((B, W), NEG_INF)
+    init = (h0, e0, jnp.full((B,), NEG_INF), jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, jnp.int32), jnp.int32(0))
+    (h, e, best, best_row, best_lane, _), dirs = jax.lax.scan(
+        row_fn, init, (reads_t, mmpen_t))
+    return SWResult(best, best_row, best_lane, dirs)
+
+
+# ----------------------------------------------------------------------
+# Device backtrace: walk direction matrices for a compacted set of chosen
+# candidates, emitting one packed op byte per step. Replaces the reference's
+# BtBranchTracer (aligner_bt.h:544) — with full matrices kept on device
+# there is nothing to re-fill, the walk is a straight readout.
+# ----------------------------------------------------------------------
+
+# per-step packed op byte: op (2 bits) | refchar (3 bits) | ismatch (1 bit)
+OP_M, OP_I, OP_D, OP_NONE = 0, 1, 2, 3
+
+
+class BTResult(NamedTuple):
+    ops: jnp.ndarray          # (S, Bc) uint8 packed op bytes, walk order
+                              # (read end → read start); OP_NONE after done
+    read_start: jnp.ndarray   # (Bc,) first read pos aligned (soft-clip start)
+    ref_start_win: jnp.ndarray  # (Bc,) window index of first ref char consumed
+    n_mm: jnp.ndarray         # (Bc,) mismatches incl N positions (XM)
+    n_go: jnp.ndarray         # (Bc,) gap opens (XO)
+    n_gc: jnp.ndarray         # (Bc,) gap chars (XG)
+    n_refn: jnp.ndarray       # (Bc,) aligned positions over ref N (XN)
+    score_check: jnp.ndarray  # (Bc,) recomputed score
 
 
 @partial(jax.jit, static_argnames=("params", "band"))
-def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
-              refwins: jnp.ndarray, params: SWParams, band: int) -> SWResult:
-    """Batched banded DP.
+def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
+              lanes: jnp.ndarray, reads: jnp.ndarray, quals: jnp.ndarray,
+              refwins: jnp.ndarray, params: SWParams, band: int) -> BTResult:
+    """Walk chosen candidates' direction matrices on device.
 
-    reads: (B, Lmax) int32; quals: (B, Lmax) int32; read_lens: (B,) int32;
-    refwins: (B, Lmax + 2*band) int32 codes 0..5.
+    dirs: (Lmax, B, W) from sw_banded over the FULL candidate batch;
+    sel: (Bc,) indices into that batch; rows/lanes: (Bc,) best-cell coords;
+    reads/quals: (Bc, Lmax) for the selected candidates (already gathered
+    host-side — they're small); refwins: (Bc, Lmax + 2*band).
     """
-    score, row, lane, dirs = jax.vmap(
-        _sw_one, in_axes=(0, 0, 0, 0, None, None))(
-        reads, quals, read_lens, refwins, params, band)
-    return SWResult(score, row, lane, dirs)
+    p = params
+    G = band
+    Lmax, B, W = dirs.shape
+    Bc = sel.shape[0]
+    S = Lmax + 2 * G + 2
+    # per-candidate flattened (Bc, Lmax*W) layout: the per-step lookup is then
+    # a take_along_axis, which XLA compiles ~200x faster than a flat 1-D
+    # gather over the full dirs buffer (measured: 0.6s vs 135s)
+    dirs_sel = jnp.take(dirs, sel, axis=1).transpose(1, 0, 2).reshape(Bc, -1)
+    mmpen = mm_penalty_from_qual(quals, p)
+
+    def step(carry, _):
+        i, j, mode, done, nmm, ngo, ngc, nrefn, score, refmin = carry
+        flat = (jnp.clip(i, 0, Lmax - 1) * W + jnp.clip(j, 0, W - 1))[:, None]
+        d = jnp.take_along_axis(dirs_sel, flat, axis=1)[:, 0].astype(jnp.int32)
+        src = d & 3
+
+        rc = jnp.take_along_axis(reads, jnp.clip(i, 0, Lmax - 1)[:, None],
+                                 axis=1)[:, 0]
+        qp = jnp.take_along_axis(mmpen, jnp.clip(i, 0, Lmax - 1)[:, None],
+                                 axis=1)[:, 0]
+        widx = jnp.clip(i + j, 0, refwins.shape[1] - 1)
+        fc = jnp.take_along_axis(refwins, widx[:, None], axis=1)[:, 0]
+
+        at_start = (mode == 0) & (src == H_START)
+        done_now = done | at_start | (i < 0)
+
+        # what this step emits (when not done):
+        #  mode H + src DIAG          → M
+        #  mode H + src E, or mode E  → I (ref gap: read char consumed)
+        #  mode H + src F, or mode F  → D (read gap: ref char consumed)
+        emit_m = (mode == 0) & (src == H_DIAG)
+        emit_i = ((mode == 0) & (src == H_E)) | (mode == 1)
+        emit_d = ((mode == 0) & (src == H_F)) | (mode == 2)
+        emit_m, emit_i, emit_d = (e & ~done_now for e in (emit_m, emit_i, emit_d))
+
+        is_n = (rc >= 4) | (fc == 4)
+        ismatch = emit_m & (rc == fc) & ~is_n & (fc < 4)
+        m_sc = jnp.where(ismatch, p.match_bonus,
+               jnp.where(is_n, -p.n_pen, -qp))
+
+        e_ext = (d & 4) != 0
+        f_ext = (d & 8) != 0
+        i_open = emit_i & ~e_ext
+        d_open = emit_d & ~f_ext
+
+        score = score + jnp.where(emit_m, m_sc, 0) \
+            - jnp.where(emit_i, p.ref_gap_extend, 0) \
+            - jnp.where(i_open, p.ref_gap_open, 0) \
+            - jnp.where(emit_d, p.read_gap_extend, 0) \
+            - jnp.where(d_open, p.read_gap_open, 0)
+        nmm = nmm + (emit_m & ~ismatch & (rc < 4) & (fc != 4)).astype(jnp.int32) \
+                  + (emit_m & is_n).astype(jnp.int32)
+        nrefn = nrefn + (emit_m & (fc == 4)).astype(jnp.int32)
+        ngo = ngo + i_open.astype(jnp.int32) + d_open.astype(jnp.int32)
+        ngc = ngc + emit_i.astype(jnp.int32) + emit_d.astype(jnp.int32)
+        refmin = jnp.where(emit_m | emit_d, jnp.minimum(refmin, i + j), refmin)
+
+        op = jnp.where(emit_m, OP_M,
+             jnp.where(emit_i, OP_I,
+             jnp.where(emit_d, OP_D, OP_NONE)))
+        packed = (op | (jnp.clip(fc, 0, 5) << 2)
+                  | (ismatch.astype(jnp.int32) << 5)).astype(jnp.uint8)
+
+        i2 = jnp.where(emit_m | emit_i, i - 1, i)
+        j2 = jnp.where(emit_i, j + 1, jnp.where(emit_d, j - 1, j))
+        mode2 = jnp.where(emit_i & e_ext, 1,
+                jnp.where(emit_d & f_ext, 2, 0))
+        i = jnp.where(done_now, i, i2)
+        j = jnp.where(done_now, j, j2)
+        mode = jnp.where(done_now, mode, mode2)
+        done = done_now | (i < 0)
+        return (i, j, mode, done, nmm, ngo, ngc, nrefn, score, refmin), packed
+
+    z = jnp.zeros(Bc, jnp.int32)
+    init = (rows, lanes, z, jnp.zeros(Bc, bool), z, z, z, z, z,
+            jnp.full(Bc, 1 << 30, jnp.int32))
+    (i, j, mode, done, nmm, ngo, ngc, nrefn, score, refmin), ops = \
+        jax.lax.scan(step, init, None, length=S)
+    read_start = i + 1
+    refmin = jnp.where(refmin == (1 << 30), 0, refmin)
+    return BTResult(ops, read_start, refmin, nmm, ngo, ngc, nrefn, score)
 
 
 # ---------------------- numpy oracle (for tests) ----------------------

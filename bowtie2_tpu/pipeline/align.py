@@ -8,12 +8,16 @@ SwDriver::extendSeeds aligner_sw_driver.cpp) with fixed-shape batch phases:
   phase 2  multiseed instantiate → exact seed search    (device)
   phase 3  rank/sample SA ranges → resolve offsets      (host rank + device walk)
   phase 4  materialize ref windows → banded DP          (device)
-  phase 5  best/secbest select, MAPQ, traceback, SAM    (host)
+  phase 5  best/secbest select per read                 (host, small arrays)
+  phase 6  backtrace of chosen candidates               (device)
+  phase 7  MAPQ + CIGAR/MD + SAM                        (host)
 
 Irregular per-read work (variable seed counts, range sizes, candidate
 counts) is handled by padding to bucketed shapes with validity masks, and
 host-side compaction between phases — per-read branchy control flow becomes
-per-stage masking, which is what the TPU wants.
+per-stage masking, which is what the TPU wants. Only small arrays cross the
+host↔device link (the direction matrices stay on device; see ops/sw.py
+backtrace).
 
 Determinism: candidates are processed in a canonical order (exact hits
 first, then seed ranges by ascending width, rows in SA order), so output is
@@ -29,16 +33,15 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from bowtie2_tpu.constants import decode_seq, revcomp
+from bowtie2_tpu.constants import decode_seq
 from bowtie2_tpu.index.build import IndexData
 from bowtie2_tpu.index.fmindex import FMIndex
 from bowtie2_tpu.io.fastx import SeqRecord
-from bowtie2_tpu.io.sam import (SamAlignment, SamWriter, cigar_string,
-                                qual_string)
+from bowtie2_tpu.io.sam import SamAlignment, SamWriter, cigar_string, qual_string
 from bowtie2_tpu.ops import fm
 from bowtie2_tpu.ops.ref import gather_windows
-from bowtie2_tpu.ops.sw import sw_banded
-from bowtie2_tpu.pipeline.backtrace import backtrace_one
+from bowtie2_tpu.ops.sw import backtrace, sw_banded
+from bowtie2_tpu.pipeline.backtrace import cigar_md_from_packed
 from bowtie2_tpu.pipeline.mapq import mapq_v2
 from bowtie2_tpu.pipeline.policy import Policy
 
@@ -79,6 +82,31 @@ class AlignStats:
         return "\n".join(lines)
 
 
+def pad_reads(records: Sequence[SeqRecord], Lmax: int):
+    """Vectorized padding: → (fw, qu, rc, qu_r) each (B, Lmax) int32.
+
+    Pad code is 4 (N) for sequence, 0 for quals.
+    """
+    B = len(records)
+    lens = np.array([r.seq.size for r in records], dtype=np.int32)
+    fw = np.full((B, Lmax), 4, dtype=np.int32)
+    qu = np.zeros((B, Lmax), dtype=np.int32)
+    rc = np.full((B, Lmax), 4, dtype=np.int32)
+    qu_r = np.zeros((B, Lmax), dtype=np.int32)
+    if B == 0:
+        return fw, qu, rc, qu_r, lens
+    allseq = np.concatenate([r.seq for r in records]).astype(np.int32)
+    allq = np.concatenate([r.qual for r in records]).astype(np.int32)
+    row = np.repeat(np.arange(B), lens)
+    col = np.arange(allseq.size) - np.repeat(np.cumsum(lens) - lens, lens)
+    rcol = np.repeat(lens, lens) - 1 - col
+    fw[row, col] = allseq
+    qu[row, col] = allq
+    rc[row, rcol] = np.where(allseq < 4, 3 - allseq, 4)
+    qu_r[row, rcol] = allq
+    return fw, qu, rc, qu_r, lens
+
+
 class UnpairedAligner:
     """Aligns batches of unpaired reads against a loaded index."""
 
@@ -91,30 +119,25 @@ class UnpairedAligner:
         self.idx = FMIndex.from_host(data)
         self.stats = AlignStats()
         self._seg_end_joined = data.seg_joined_start + data.seg_len
+        self._fn_cache = {}
 
     # ------------------------------------------------------------------
     def align_batch(self, records: Sequence[SeqRecord]) -> List[SamAlignment]:
         pol = self.pol
         B = len(records)
-        lens = np.array([r.seq.size for r in records], dtype=np.int32)
-        Lmax = _bucket(int(lens.max()) if B else 64)
+        if B == 0:
+            return []
+        fw, qu, rc, qu_r, lens = pad_reads(
+            records, _bucket(max(int(r.seq.size) for r in records)))
+        Lmax = fw.shape[1]
 
-        fw = np.full((B, Lmax), 4, dtype=np.int32)
-        qu = np.zeros((B, Lmax), dtype=np.int32)
-        rc = np.full((B, Lmax), 4, dtype=np.int32)
-        qu_r = np.zeros((B, Lmax), dtype=np.int32)
-        for i, r in enumerate(records):
-            L = r.seq.size
-            fw[i, :L] = r.seq
-            qu[i, :L] = r.qual
-            rc[i, :L] = revcomp(r.seq)
-            qu_r[i, :L] = r.qual[::-1]
-
-        minsc = np.array([pol.min_score(int(l)) for l in lens], dtype=np.int64)
+        # per-length policy values via the unique lengths
+        ulen, inv = np.unique(lens, return_inverse=True)
+        minsc = np.array([pol.min_score(int(l)) for l in ulen], np.int64)[inv]
         perfect = np.array([pol.perfect_score(int(l)) if pol.local else 0
-                            for l in lens], dtype=np.int64)
-        nceil = np.array([pol.nceil(int(l)) for l in lens], dtype=np.int32)
-        n_count = np.array([(r.seq >= 4).sum() for r in records], dtype=np.int32)
+                            for l in ulen], np.int64)[inv]
+        nceil = np.array([pol.nceil(int(l)) for l in ulen], np.int32)[inv]
+        n_count = (fw >= 4).sum(axis=1) - (Lmax - lens)
         filtered = (lens == 0) | (n_count > nceil)
 
         # ---------------- phase 1+2: device searches ----------------
@@ -122,19 +145,17 @@ class UnpairedAligner:
         both_lens = np.concatenate([lens, lens])
         sweep = fm.exact_sweep(self.idx.fw, jnp.asarray(both),
                                jnp.asarray(both_lens))
+        seed_or, seed_off, seed_top, seed_bot = self._seed_search(fw, rc, lens)
         sw_top = np.asarray(sweep.top)
         sw_bot = np.asarray(sweep.bot)
         sw_ned = np.asarray(sweep.nedit)
 
-        slen = pol.seed_len
-        seed_tb = self._seed_search(fw, rc, lens, Lmax)
-
         # ---------------- phase 3: rank + resolve ----------------
         (cand_read, cand_or, cand_off, cand_row, cand_exact) = \
             self._assemble_candidates(B, lens, filtered, sw_top, sw_bot,
-                                      sw_ned, seed_tb)
+                                      sw_ned, seed_or, seed_off, seed_top,
+                                      seed_bot)
         n_cand = cand_row.size
-        results = [None] * B
         if n_cand:
             NR = _pow2_at_least(n_cand)
             rows_pad = np.zeros(NR, dtype=np.int32)
@@ -146,7 +167,7 @@ class UnpairedAligner:
             # straddle filter: the matched stretch must stay in one segment
             seg = np.searchsorted(self.data.seg_joined_start, jpos,
                                   side="right") - 1
-            match_len = np.where(cand_exact, lens[cand_read], slen)
+            match_len = np.where(cand_exact, lens[cand_read], pol.seed_len)
             ok = jpos + match_len <= self._seg_end_joined[seg]
             cand_read, cand_or, cand_off, cand_exact, jpos, seg = (
                 a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,
@@ -171,8 +192,8 @@ class UnpairedAligner:
 
         # ---------------- phase 4: windows + DP ----------------
         n_cand = anchor.size
+        G = pol.band_halfwidth(Lmax)
         if n_cand:
-            G = pol.band_halfwidth(Lmax)
             width = Lmax + 2 * G
             NC = _pow2_at_least(n_cand)
             starts = np.zeros(NC, dtype=np.int32)
@@ -185,35 +206,32 @@ class UnpairedAligner:
                                   jnp.asarray(starts), jnp.asarray(lo),
                                   jnp.asarray(hi), width)
 
-            reads_c = np.zeros((NC, Lmax), dtype=np.int32)
-            quals_c = np.zeros((NC, Lmax), dtype=np.int32)
-            lens_c = np.ones(NC, dtype=np.int32)
-            reads_c[:n_cand] = np.where((cand_or == 0)[:, None],
-                                        fw[cand_read], rc[cand_read])
-            quals_c[:n_cand] = np.where((cand_or == 0)[:, None],
-                                        qu[cand_read], qu_r[cand_read])
-            lens_c[:n_cand] = lens[cand_read]
+            cr = np.zeros(NC, dtype=np.int64)
+            cr[:n_cand] = cand_read
+            co = np.zeros(NC, dtype=np.int64)
+            co[:n_cand] = cand_or
+            reads_c = np.where((co == 0)[:, None], fw[cr], rc[cr])
+            quals_c = np.where((co == 0)[:, None], qu[cr], qu_r[cr])
+            lens_c = np.maximum(lens[cr], 1)
+            lens_c[n_cand:] = 1
 
-            res = sw_banded(jnp.asarray(reads_c), jnp.asarray(quals_c),
-                            jnp.asarray(lens_c), wins, pol.sw_params(), G)
+            jreads_c = jnp.asarray(reads_c)
+            jquals_c = jnp.asarray(quals_c)
+            res = sw_banded(jreads_c, jquals_c, jnp.asarray(lens_c),
+                            wins, pol.sw_params(), G)
             scores = np.asarray(res.score)[:n_cand].astype(np.int64)
-            rows_end = np.asarray(res.row)[:n_cand]
-            lanes_end = np.asarray(res.lane)[:n_cand]
-            dirs_dev = res.dirs
+            rows_end = np.asarray(res.row)
+            lanes_end = np.asarray(res.lane)
         else:
             scores = np.zeros(0, dtype=np.int64)
 
-        # ---------------- phase 5: select + report ----------------
-        out: List[SamAlignment] = []
+        # ---------------- phase 5: select per read ----------------
         chosen_per_read = {}
         if n_cand:
             valid = scores >= minsc[cand_read]
-            end_pos = anchor + (lanes_end - G) + rows_end  # global ref pos of last char
-            order = np.argsort(cand_read, kind="stable")
+            end_pos = anchor + (lanes_end[:n_cand] - G) + rows_end[:n_cand]
             by_read = {}
-            for k in order:
-                if not valid[k]:
-                    continue
+            for k in np.nonzero(valid)[0]:
                 by_read.setdefault(int(cand_read[k]), []).append(int(k))
             for ri, ks in by_read.items():
                 # dedupe identical final alignments
@@ -224,20 +242,33 @@ class UnpairedAligner:
                         seen[kk] = k
                 uniq = sorted(seen.values(),
                               key=lambda k: (-scores[k], ks.index(k)))
-                best_k = uniq[0]
-                sec_k = uniq[1] if len(uniq) > 1 else None
-                chosen_per_read[ri] = (best_k, sec_k)
+                chosen_per_read[ri] = (uniq[0],
+                                       uniq[1] if len(uniq) > 1 else None)
 
-        # pull direction matrices + windows for chosen best candidates only
+        # ---------------- phase 6: device backtrace of chosen ----------------
+        tb_of = {}
         if chosen_per_read:
-            idxs = np.array([v[0] for v in chosen_per_read.values()],
-                            dtype=np.int32)
-            jidx = jnp.asarray(idxs)
-            dirs_host = np.asarray(jnp.take(dirs_dev, jidx, axis=0))
-            wins_host = np.asarray(jnp.take(wins, jidx, axis=0))
-            dir_of = {k: dirs_host[i] for i, k in enumerate(idxs.tolist())}
-            win_of = {k: wins_host[i] for i, k in enumerate(idxs.tolist())}
+            sel = np.array([v[0] for v in chosen_per_read.values()], np.int32)
+            Bc = _pow2_at_least(sel.size, lo=64)
+            sel_pad = np.zeros(Bc, np.int32)
+            sel_pad[:sel.size] = sel
+            bt = backtrace(res.dirs, jnp.asarray(sel_pad),
+                           jnp.asarray(rows_end[sel_pad]),
+                           jnp.asarray(lanes_end[sel_pad]),
+                           jnp.take(jreads_c, jnp.asarray(sel_pad), axis=0),
+                           jnp.take(jquals_c, jnp.asarray(sel_pad), axis=0),
+                           jnp.take(wins, jnp.asarray(sel_pad), axis=0),
+                           pol.sw_params(), G)
+            ops_host = np.asarray(bt.ops)            # (S, Bc)
+            tb_scalars = {f: np.asarray(getattr(bt, f)) for f in
+                          ("read_start", "ref_start_win", "n_mm", "n_go",
+                           "n_gc", "n_refn", "score_check")}
+            for ci, k in enumerate(sel.tolist()):
+                tb_of[k] = (ops_host[:, ci],
+                            {f: int(v[ci]) for f, v in tb_scalars.items()})
 
+        # ---------------- phase 7: report ----------------
+        out: List[SamAlignment] = []
         for ri, rec in enumerate(records):
             self.stats.reads += 1
             L = int(lens[ri])
@@ -252,26 +283,21 @@ class UnpairedAligner:
                 out.append(self._unaligned(rec))
                 continue
             best_k, sec_k = ch
-            orient = int(cand_or[best_k])
-            read_codes = fw[ri, :L] if orient == 0 else rc[ri, :L]
-            read_quals = qu[ri, :L] if orient == 0 else qu_r[ri, :L]
-            G = pol.band_halfwidth(Lmax)
-            win_start = int(anchor[best_k]) - G
-            win = win_of[best_k]
-            pad_read = np.full(Lmax, 4, np.int32)
-            pad_read[:L] = read_codes
-            pad_qual = np.zeros(Lmax, np.int32)
-            pad_qual[:L] = read_quals
-            tb = backtrace_one(dir_of[best_k], int(rows_end[best_k]),
-                               int(lanes_end[best_k]), pad_read, pad_qual,
-                               win, pol.sw_params())
-            if tb.score_check != int(scores[best_k]):
+            opcol, sc = tb_of[best_k]
+            if sc["score_check"] != int(scores[best_k]):
                 # should not happen; drop to unaligned rather than emit garbage
                 self.stats.unal += 1
                 out.append(self._unaligned(rec))
                 continue
 
-            g_start = win_start + tb.ref_start_win
+            orient = int(cand_or[best_k])
+            read_codes = fw[ri, :L] if orient == 0 else rc[ri, :L]
+            read_quals = qu[ri, :L] if orient == 0 else qu_r[ri, :L]
+            read_end = int(rows_end[best_k]) + 1
+            cigar_ops, md = cigar_md_from_packed(opcol, sc["read_start"],
+                                                 read_end, L)
+            win_start = int(anchor[best_k]) - G
+            g_start = win_start + sc["ref_start_win"]
             r_id = int(rid[best_k])
             roff = g_start - int(self.data.ref_cum[r_id])
             best = int(scores[best_k])
@@ -282,18 +308,15 @@ class UnpairedAligner:
             flag = 0x10 if orient else 0
             seq_out = decode_seq(read_codes.astype(np.uint8)).decode()
             qual_out = qual_string(read_quals)
-            cigar_ops = list(tb.ops)
-            if tb.read_end < L:
-                cigar_ops.append(("S", L - tb.read_end))
             opts = [("AS", "i", best)]
             if sec is not None:
                 opts.append(("XS", "i", sec))
-            opts += [("XN", "i", tb.n_refn),
-                     ("XM", "i", tb.n_mm),
-                     ("XO", "i", tb.n_gap_opens),
-                     ("XG", "i", tb.n_gap_chars),
-                     ("NM", "i", tb.n_mm + tb.n_gap_chars),
-                     ("MD", "Z", "".join(tb.md_parts)),
+            opts += [("XN", "i", sc["n_refn"]),
+                     ("XM", "i", sc["n_mm"]),
+                     ("XO", "i", sc["n_go"]),
+                     ("XG", "i", sc["n_gc"]),
+                     ("NM", "i", sc["n_mm"] + sc["n_gc"]),
+                     ("MD", "Z", md),
                      ("YT", "Z", "UU")]
             out.append(SamAlignment(
                 qname=rec.name, flag=flag, rname=self.data.ref_names[r_id],
@@ -307,62 +330,66 @@ class UnpairedAligner:
         return out
 
     # ------------------------------------------------------------------
-    def _seed_search(self, fw, rc, lens, Lmax):
-        """Instantiate + search seeds for both orientations.
+    def _seed_search(self, fw, rc, lens):
+        """Instantiate + search seeds for both orientations (vectorized).
 
-        Returns dict read→list[(orient, rdoff, top, bot)] with nonempty
-        ranges only (reference instantiateSeeds aligner_seed.cpp:498 +
-        searchAllSeeds).
+        Returns (orient, offsets, top, bot) each (2B, smax); empty ranges
+        have top == bot. Row k < B is fw read k; row B+k is rc read k.
+        (Reference instantiateSeeds aligner_seed.cpp:498 + searchAllSeeds.)
         """
         pol = self.pol
-        B = lens.size
+        B, Lmax = fw.shape
         slen = pol.seed_len
-        per_read_offs = []
-        smax = 1
-        for i in range(B):
-            L = int(lens[i])
-            n = pol.n_seeds(L)
-            ival = pol.interval(L)
-            offs = [j * ival for j in range(n)]
-            per_read_offs.append(offs)
-            smax = max(smax, n)
-        seeds = np.full((2 * B, smax, slen), 0, dtype=np.int32)
-        valid = np.zeros((2 * B, smax), dtype=bool)
-        offmat = np.zeros((2 * B, smax), dtype=np.int32)
-        for i in range(B):
-            for j, off in enumerate(per_read_offs[i]):
-                for oi, src in ((0, fw), (1, rc)):
-                    s = src[i, off:off + slen]
-                    v = not (s >= 4).any()
-                    seeds[oi * B + i, j] = s
-                    valid[oi * B + i, j] = v
-                    offmat[oi * B + i, j] = off
-        flat_seeds = seeds.reshape(-1, slen)
+        ulen, inv = np.unique(lens, return_inverse=True)
+        ival_u = np.array([pol.interval(int(l)) for l in ulen], np.int32)
+        nseed_u = np.array([pol.n_seeds(int(l)) for l in ulen], np.int32)
+        ivals, nseeds = ival_u[inv], nseed_u[inv]
+        smax = max(int(nseeds.max()), 1)
+        smax = 1 << int(np.ceil(np.log2(smax)))          # bucket for stability
+
+        offs = np.arange(smax, dtype=np.int32)[None, :] * ivals[:, None]
+        valid_off = np.arange(smax)[None, :] < nseeds[:, None]
+        offs = np.where(valid_off, offs, 0)
+
+        idx = offs[:, :, None] + np.arange(slen, dtype=np.int32)[None, None, :]
+        idx = np.minimum(idx, Lmax - 1)
+        rows = np.arange(B)[:, None, None]
+        seeds_fw = fw[rows, idx]
+        seeds_rc = rc[rows, idx]
+        seeds = np.concatenate([seeds_fw, seeds_rc], axis=0)  # (2B, smax, slen)
+        valid = np.concatenate([valid_off, valid_off], axis=0) \
+            & ~(seeds >= 4).any(axis=2)
+
+        flat_seeds = seeds.reshape(-1, slen).astype(np.int32)
         flat_valid = valid.reshape(-1)
+        NS = _pow2_at_least(flat_seeds.shape[0])
+        if NS > flat_seeds.shape[0]:
+            pad = NS - flat_seeds.shape[0]
+            flat_seeds = np.concatenate(
+                [flat_seeds, np.zeros((pad, slen), np.int32)], axis=0)
+            flat_valid = np.concatenate([flat_valid, np.zeros(pad, bool)])
         top, bot = fm.seed_search_exact(self.idx.fw, jnp.asarray(flat_seeds),
                                         jnp.asarray(flat_valid), slen)
-        top = np.asarray(top).reshape(2 * B, smax)
-        bot = np.asarray(bot).reshape(2 * B, smax)
-        result = {}
-        for i in range(B):
-            hits = []
-            for oi in (0, 1):
-                for j in range(len(per_read_offs[i])):
-                    t, b = int(top[oi * B + i, j]), int(bot[oi * B + i, j])
-                    if b > t:
-                        hits.append((oi, int(offmat[oi * B + i, j]), t, b))
-            result[i] = hits
-        return result
+        top = np.asarray(top)[:2 * B * smax].reshape(2 * B, smax)
+        bot = np.asarray(bot)[:2 * B * smax].reshape(2 * B, smax)
+        orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
+        offs2 = np.concatenate([offs, offs], axis=0)
+        return orient.astype(np.int32), offs2, top, bot
 
     def _assemble_candidates(self, B, lens, filtered, sw_top, sw_bot, sw_ned,
-                             seed_tb):
-        """Canonical-order candidate list under a per-read budget."""
+                             seed_or, seed_off, seed_top, seed_bot):
+        """Canonical-order candidate list under a per-read budget.
+
+        Exact end-to-end hits first (phase 1), then seed-hit SA ranges by
+        ascending width (reference prioritizeSATups), rows round-robin
+        across ranges so wide ranges don't starve narrow ones.
+        """
+        widths = seed_bot - seed_top                 # (2B, smax)
         cand_read, cand_or, cand_off, cand_row, cand_exact = [], [], [], [], []
         for i in range(B):
             if filtered[i]:
                 continue
             budget = self.NC_PER_READ
-            # exact end-to-end hits first (phase 1)
             for oi in (0, 1):
                 k = oi * B + i
                 if sw_ned[k] == 0 and sw_bot[k] > sw_top[k]:
@@ -375,25 +402,32 @@ class UnpairedAligner:
                         cand_row.append(int(sw_top[k]) + r)
                         cand_exact.append(True)
                     budget -= take
-            # seed ranges by ascending width (prioritizeSATups), rows
-            # round-robin across ranges so wide ranges don't starve others
-            hits = sorted(seed_tb.get(i, []), key=lambda h: (h[3] - h[2]))
+            # nonempty seed ranges for this read, both orientations
+            rows_i = np.array([i, B + i])
+            w_i = widths[rows_i]                      # (2, smax)
+            nz = np.nonzero(w_i > 0)
+            if nz[0].size == 0 or budget <= 0:
+                continue
+            order = np.argsort(w_i[nz], kind="stable")
+            ors = nz[0][order]                        # 0=fw, 1=rc
+            js = nz[1][order]
+            tops = seed_top[rows_i[ors], js]
+            ws = w_i[nz][order]
+            offs = seed_off[rows_i[ors], js]
             depth = 0
             while budget > 0:
-                advanced = False
-                for (oi, off, t, b) in hits:
+                live = depth < ws
+                if not live.any():
+                    break
+                for t in np.nonzero(live)[0]:
                     if budget <= 0:
                         break
-                    if t + depth < b:
-                        cand_read.append(i)
-                        cand_or.append(oi)
-                        cand_off.append(off)
-                        cand_row.append(t + depth)
-                        cand_exact.append(False)
-                        budget -= 1
-                        advanced = True
-                if not advanced:
-                    break
+                    cand_read.append(i)
+                    cand_or.append(int(ors[t]))
+                    cand_off.append(int(offs[t]))
+                    cand_row.append(int(tops[t]) + depth)
+                    cand_exact.append(False)
+                    budget -= 1
                 depth += 1
         return (np.array(cand_read, dtype=np.int64),
                 np.array(cand_or, dtype=np.int64),

@@ -15,7 +15,60 @@ from typing import List, Tuple
 
 import numpy as np
 
-from bowtie2_tpu.ops.sw import H_DIAG, H_E, H_F, H_START, SWParams
+from bowtie2_tpu.ops.sw import H_DIAG, H_E, H_F, H_START, OP_NONE, SWParams
+
+_REF_CHARS = "ACGTN?"
+
+
+def cigar_md_from_packed(opcol: np.ndarray, read_start: int, read_end: int,
+                         read_len: int) -> Tuple[List[Tuple[str, int]], str]:
+    """Decode one device-backtrace op column → (CIGAR ops, MD:Z string).
+
+    opcol: (S,) uint8 packed bytes in walk order (read end → read start);
+    byte layout matches ops/sw.py backtrace: op(2) | refchar(3) | ismatch(1).
+    read_start/read_end delimit the aligned read span (soft clips outside).
+    """
+    ops = opcol & 3
+    keep = ops != OP_NONE
+    opsk = ops[keep][::-1].astype(np.int64)          # forward (5'→3') order
+    refc = ((opcol[keep] >> 2) & 7)[::-1].astype(np.int64)
+    ismatch = (((opcol[keep] >> 5) & 1) == 1)[::-1]
+
+    cigar: List[Tuple[str, int]] = []
+    if read_start > 0:
+        cigar.append(("S", int(read_start)))
+    if opsk.size:
+        change = np.nonzero(np.diff(opsk))[0]
+        bounds = np.concatenate([[0], change + 1, [opsk.size]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cigar.append(("MID"[int(opsk[s])], int(e - s)))
+    if read_end < read_len:
+        cigar.append(("S", int(read_len - read_end)))
+
+    # MD:Z — match run lengths, mismatch ref chars, ^-prefixed deletion runs;
+    # insertions are invisible to MD. (reference Edit::printMD, edit.cpp)
+    is_m = opsk == 0
+    match_cum = np.concatenate([[0], np.cumsum(is_m & ismatch)])
+    events = np.nonzero((is_m & ~ismatch) | (opsk == 2))[0]
+    parts: List[str] = []
+    prev = 0                      # index after the previous event
+    in_del = False
+    for e in events.tolist():
+        nmatch = int(match_cum[e] - match_cum[prev])
+        if opsk[e] == 2:          # deletion char
+            if in_del and nmatch == 0:
+                parts[-1] += _REF_CHARS[refc[e]]
+            else:
+                parts.append(str(nmatch))
+                parts.append("^" + _REF_CHARS[refc[e]])
+            in_del = True
+        else:                     # mismatch
+            parts.append(str(nmatch))
+            parts.append(_REF_CHARS[refc[e]])
+            in_del = False
+        prev = e + 1
+    parts.append(str(int(match_cum[-1] - match_cum[prev])))
+    return cigar, "".join(parts)
 
 
 @dataclass

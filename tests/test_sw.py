@@ -74,7 +74,7 @@ def test_backtrace_score_consistency(rng, params):
                     jnp.asarray(wins), params, G)
     dirs = np.asarray(res.dirs)
     for k in range(B):
-        tb = backtrace_one(dirs[k], int(res.row[k]), int(res.lane[k]),
+        tb = backtrace_one(dirs[:, k], int(res.row[k]), int(res.lane[k]),
                            reads[k], quals[k], wins[k], params)
         assert tb.score_check == int(res.score[k]), k
         # read chars consumed must equal aligned span
@@ -93,7 +93,7 @@ def test_perfect_match_and_positions(rng):
     res = sw_banded(jnp.asarray(read[None]), jnp.asarray(quals[None]),
                     jnp.asarray([L], np.int32), jnp.asarray(win[None]), E2E, G)
     assert int(res.score[0]) == 0
-    tb = backtrace_one(np.asarray(res.dirs)[0], int(res.row[0]),
+    tb = backtrace_one(np.asarray(res.dirs)[:, 0], int(res.row[0]),
                        int(res.lane[0]), read, quals, win, E2E)
     assert tb.ops == [("M", L)]
     assert tb.ref_start_win == G
@@ -112,7 +112,7 @@ def test_known_indel_cigar(rng):
                     jnp.asarray([L], np.int32), jnp.asarray(win[None]), E2E, G)
     # score: 2-gap = -(5 + 3*2) = -11
     assert int(res.score[0]) == -11
-    tb = backtrace_one(np.asarray(res.dirs)[0], int(res.row[0]),
+    tb = backtrace_one(np.asarray(res.dirs)[:, 0], int(res.row[0]),
                        int(res.lane[0]), read, quals, win, E2E)
     assert tb.ops == [("M", 15), ("D", 2), ("M", 15)]
     assert tb.n_gap_opens == 1 and tb.n_gap_chars == 2
@@ -131,3 +131,45 @@ def test_out_of_bounds_window_blocked(rng):
     want = sw_full_numpy(read, quals, win2, E2E)
     assert int(res.score[0]) == want
     assert int(res.score[0]) < 0  # forced mismatches/gaps, not the clean hit
+
+
+@pytest.mark.parametrize("params", [E2E, LOCAL], ids=["e2e", "local"])
+def test_device_backtrace_matches_host(rng, params):
+    from bowtie2_tpu.ops.sw import backtrace
+    from bowtie2_tpu.pipeline.backtrace import cigar_md_from_packed
+
+    G, L = 8, 50
+    B = 32
+    reads, quals, wins = [], [], []
+    for k in range(B):
+        r, q, w = _make_problem(rng, L, G, n_mm=k % 5, n_ins=k % 3, n_del=k % 2)
+        reads.append(r)
+        quals.append(q)
+        wins.append(w)
+    reads, quals, wins = np.stack(reads), np.stack(quals), np.stack(wins)
+    lens = np.full(B, L, np.int32)
+    res = sw_banded(jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
+                    jnp.asarray(wins), params, G)
+    sel = np.arange(B, dtype=np.int32)
+    bt = backtrace(res.dirs, jnp.asarray(sel), res.row, res.lane,
+                   jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(wins),
+                   params, G)
+    ops_host = np.asarray(bt.ops)
+    dirs = np.asarray(res.dirs)
+    for k in range(B):
+        want = backtrace_one(dirs[:, k], int(res.row[k]), int(res.lane[k]),
+                             reads[k], quals[k], wins[k], params)
+        assert int(bt.score_check[k]) == want.score_check == int(res.score[k]), k
+        assert int(bt.read_start[k]) == want.read_start, k
+        assert int(bt.ref_start_win[k]) == want.ref_start_win, k
+        assert int(bt.n_mm[k]) == want.n_mm, k
+        assert int(bt.n_go[k]) == want.n_gap_opens, k
+        assert int(bt.n_gc[k]) == want.n_gap_chars, k
+        cigar, md = cigar_md_from_packed(ops_host[:, k],
+                                         int(bt.read_start[k]),
+                                         int(res.row[k]) + 1, L)
+        want_cigar = list(want.ops)
+        if want.read_end < L:
+            want_cigar.append(("S", L - want.read_end))
+        assert cigar == want_cigar, k
+        assert md == "".join(want.md_parts), k
