@@ -164,6 +164,54 @@ def exact_sweep(half: FMHalf, reads: jnp.ndarray, lengths: jnp.ndarray) -> Sweep
 
 
 # ----------------------------------------------------------------------
+# Variable-length exact substring search: like exact_sweep but an empty
+# range kills the state instead of restarting. Used for the pigeonhole
+# half-read search that replaces the reference's up-front 1-mismatch search
+# (SeedAligner::oneMmSearch aligner_seed.cpp:975): any end-to-end alignment
+# with <= 1 edit has one exact half, so exact hits of both halves are a
+# complete candidate generator for it (verification happens in the DP
+# extension stage, which scores all edits anyway).
+# ----------------------------------------------------------------------
+
+@jax.jit
+def substring_search(half: FMHalf, seqs: jnp.ndarray, lengths: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward exact search of variable-length strings.
+
+    seqs: (B, Lmax) int32 codes (4=N); lengths: (B,). Returns (top, bot);
+    empty ranges have top >= bot.
+    """
+    B, Lmax = seqs.shape
+    nrows = (half.n + 1).astype(jnp.int32)
+    pos = lengths[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    rr = jnp.take_along_axis(seqs, jnp.clip(pos, 0, Lmax - 1), axis=1)
+    rr = jnp.where(pos >= 0, rr, 5)            # 5 = inactive (past length)
+
+    def step(carry, c):
+        top, bot = carry
+        active = c < 5
+        is_n = c >= 4
+        cc = jnp.clip(c, 0, 3)
+        alive = top < bot
+        fc = _fchr_at(half, cc)
+        o2 = occ_batch(half, jnp.concatenate([top, bot]),
+                       jnp.concatenate([cc, cc]))
+        ntop = fc + o2[:B]
+        nbot = fc + o2[B:]
+        dead = is_n | ~alive
+        ntop = jnp.where(dead, 1, ntop)
+        nbot = jnp.where(dead, 0, nbot)
+        top = jnp.where(active, ntop, top)
+        bot = jnp.where(active, nbot, bot)
+        return (top, bot), None
+
+    init = (jnp.zeros(B, jnp.int32),
+            jnp.broadcast_to(nrows, (B,)).astype(jnp.int32))
+    (top, bot), _ = jax.lax.scan(step, init, rr.T)
+    return top, jnp.maximum(top, bot)
+
+
+# ----------------------------------------------------------------------
 # Exact seed search: backward search of fixed-length seeds, no restart —
 # empty range means no hit (reference searchSeedBi with -N 0,
 # aligner_seed.cpp:1859; the exact case needs no bidirectional machinery).

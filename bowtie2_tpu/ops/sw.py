@@ -61,6 +61,9 @@ class SWParams(NamedTuple):
     read_gap_extend: int = 3
     ref_gap_open: int = 5         # RFG 5,3
     ref_gap_extend: int = 3
+    gap_barrier: int = 4          # --gbar: no gaps within this many positions
+                                  # of either read end (scoring.h gapbar,
+                                  # veto masks aligner_swsse_ee_u8.cpp:119-123)
     local: bool = False
 
 
@@ -136,6 +139,14 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
         e_cur = jnp.maximum(e_open, e_ext)
         e_from_ext = e_ext > e_open
 
+        # gap barrier: gap-state cells are dead at rows within gbar of
+        # either read end (the SSE kernels' veto words,
+        # aligner_swsse_ee_u8.cpp:119-123)
+        if p.gap_barrier > 0:
+            bar = ((i < p.gap_barrier) |
+                   (i >= read_lens - p.gap_barrier))[:, None]
+            e_cur = jnp.where(bar, NEG_INF, e_cur)
+
         # H without F
         h_diag = h_prev + sub
         h_noF = jnp.maximum(h_diag, e_cur)
@@ -149,6 +160,8 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
         # F-from-extension marker: whether the maximizing k is < j-1
         f_open = jnp.concatenate([pad, h_noF[:, :-1]], axis=1) - rgo
         f_from_ext = f_cur > f_open
+        if p.gap_barrier > 0:
+            f_cur = jnp.where(bar, NEG_INF, f_cur)
 
         h_cur = jnp.maximum(h_noF, f_cur)
         src = jnp.where(f_cur > h_noF, jnp.uint8(H_F), src_noF)
@@ -328,10 +341,15 @@ def sw_full_numpy(read, quals, refwin, p: SWParams):
     H[0, :] = 0                                  # free start anywhere on ref
     for i in range(1, L + 1):
         rc, pen = read[i - 1], mm[i - 1]
+        barred = (i - 1) < p.gap_barrier or (L - i) < p.gap_barrier
         for j in range(0, R + 1):
             E[i, j] = max(H[i - 1, j] - fgo, E[i - 1, j] - p.ref_gap_extend)
+            if barred:
+                E[i, j] = NEG
             if j > 0:
                 F[i, j] = max(H[i, j - 1] - rgo, F[i, j - 1] - p.read_gap_extend)
+                if barred:
+                    F[i, j] = NEG
                 ref_c = refwin[j - 1]
                 if ref_c >= 5 or rc >= 5:
                     sub = NEG // 2

@@ -145,16 +145,28 @@ class UnpairedAligner:
         both_lens = np.concatenate([lens, lens])
         sweep = fm.exact_sweep(self.idx.fw, jnp.asarray(both),
                                jnp.asarray(both_lens))
-        seed_or, seed_off, seed_top, seed_bot = self._seed_search(fw, rc, lens)
+        seed_or, seed_off, seed_top, seed_bot, seed_mlen = \
+            self._seed_search(fw, rc, lens)
+        half_off, half_top, half_bot, half_mlen = \
+            self._half_search(both, both_lens)
+        # merge half-read hits into the seed-range arrays (2B, smax+2)
+        smax0 = seed_off.shape[1]
+        seed_off = np.concatenate([seed_off, half_off], axis=1)
+        seed_top = np.concatenate([seed_top, half_top], axis=1)
+        seed_bot = np.concatenate([seed_bot, half_bot], axis=1)
+        seed_mlen = np.concatenate([seed_mlen, half_mlen], axis=1)
+        seed_half = np.zeros_like(seed_off, dtype=bool)
+        seed_half[:, smax0:] = True
         sw_top = np.asarray(sweep.top)
         sw_bot = np.asarray(sweep.bot)
         sw_ned = np.asarray(sweep.nedit)
 
         # ---------------- phase 3: rank + resolve ----------------
-        (cand_read, cand_or, cand_off, cand_row, cand_exact) = \
+        (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
+         cand_half) = \
             self._assemble_candidates(B, lens, filtered, sw_top, sw_bot,
-                                      sw_ned, seed_or, seed_off, seed_top,
-                                      seed_bot)
+                                      sw_ned, seed_off, seed_top,
+                                      seed_bot, seed_mlen, seed_half)
         n_cand = cand_row.size
         if n_cand:
             NR = _pow2_at_least(n_cand)
@@ -167,11 +179,10 @@ class UnpairedAligner:
             # straddle filter: the matched stretch must stay in one segment
             seg = np.searchsorted(self.data.seg_joined_start, jpos,
                                   side="right") - 1
-            match_len = np.where(cand_exact, lens[cand_read], pol.seed_len)
-            ok = jpos + match_len <= self._seg_end_joined[seg]
-            cand_read, cand_or, cand_off, cand_exact, jpos, seg = (
+            ok = jpos + cand_mlen <= self._seg_end_joined[seg]
+            cand_read, cand_or, cand_off, cand_exact, cand_half, jpos, seg = (
                 a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,
-                                jpos, seg))
+                                cand_half, jpos, seg))
 
             gpos = (self.data.seg_global_start[seg]
                     + (jpos - self.data.seg_joined_start[seg]))
@@ -183,9 +194,9 @@ class UnpairedAligner:
                 + (anchor + (1 << 35))
             _, first_idx = np.unique(key, return_index=True)
             first_idx.sort()
-            cand_read, cand_or, cand_exact, anchor, rid = (
+            cand_read, cand_or, cand_exact, cand_half, anchor, rid = (
                 a[first_idx] for a in (cand_read, cand_or, cand_exact,
-                                       anchor, rid))
+                                       cand_half, anchor, rid))
         else:
             anchor = np.zeros(0, dtype=np.int64)
             rid = np.zeros(0, dtype=np.int64)
@@ -229,6 +240,18 @@ class UnpairedAligner:
         chosen_per_read = {}
         if n_cand:
             valid = scores >= minsc[cand_read]
+            # half-read (pigeonhole) candidates model the reference's
+            # up-front 1-mismatch search (oneMmSearch): only admit them when
+            # the implied end-to-end ungapped alignment has <= 1 mismatch,
+            # so sensitivity matches the reference's (stronger use of these
+            # hits would align reads the reference reports unaligned).
+            if cand_half[:n_cand].any():
+                diag = jnp.asarray(wins)[:, G:G + Lmax]
+                mm_ug = np.asarray(jnp.sum(
+                    ((jreads_c != diag) | (jreads_c >= 4))
+                    & (jnp.arange(Lmax)[None, :] < jnp.asarray(lens_c)[:, None]),
+                    axis=1))[:n_cand]
+                valid &= ~(cand_half[:n_cand] & (mm_ug > 1))
             end_pos = anchor + (lanes_end[:n_cand] - G) + rows_end[:n_cand]
             by_read = {}
             for k in np.nonzero(valid)[0]:
@@ -340,25 +363,72 @@ class UnpairedAligner:
         pol = self.pol
         B, Lmax = fw.shape
         slen = pol.seed_len
+        # Re-seeding rounds beyond the first only run in the reference when
+        # round-1 seed hits average >= --seed-boost (300) elements — i.e.
+        # essentially never outside highly repetitive reads (bt2_search.cpp
+        # :4146 averageHitsPerSeed() gate; verified empirically: 0 of the
+        # lambda golden alignments need round-2 seeds). Round-0 only here;
+        # the repetitive-read boost pass is future work.
+        nrounds = 1
         ulen, inv = np.unique(lens, return_inverse=True)
         ival_u = np.array([pol.interval(int(l)) for l in ulen], np.int32)
-        nseed_u = np.array([pol.n_seeds(int(l)) for l in ulen], np.int32)
-        ivals, nseeds = ival_u[inv], nseed_u[inv]
-        smax = max(int(nseeds.max()), 1)
+        ivals = ival_u[inv]
+
+        # seed offsets from ALL multiseed rounds at once: round r starts at
+        # (interval * r) / nrounds (bt2_search.cpp:3911), seeds every
+        # interval while they fit. The reference may stop after an earlier
+        # round (ReportingState short-circuits); searching the union is a
+        # sensitivity superset — acceptable until RNG/effort parity work.
+        base = (ivals[:, None] * np.arange(nrounds, dtype=np.int32)[None, :]
+                ) // nrounds                             # (B, nrounds)
+        per_round = np.arange(64, dtype=np.int32)        # max seeds per round
+        offs = (base[:, :, None] + per_round[None, None, :] * ivals[:, None, None])
+        valid_off = offs + slen <= lens[:, None, None]
+        # a round is skipped when seeds are already packed as tight as
+        # possible (reference: interval <= roundi → continue)
+        valid_off &= (np.arange(nrounds, dtype=np.int32)[None, :, None]
+                      < ivals[:, None, None])
+        offs = offs.reshape(B, -1)
+        valid_off = valid_off.reshape(B, -1)
+        nkeep = int(valid_off.sum(axis=1).max()) if B else 1
+        smax = max(nkeep, 1)
         smax = 1 << int(np.ceil(np.log2(smax)))          # bucket for stability
+        # compact the valid offsets left into (B, smax)
+        order = np.argsort(~valid_off, axis=1, kind="stable")[:, :smax]
+        valid_off = np.take_along_axis(valid_off, order, axis=1)
+        offs = np.where(valid_off,
+                        np.take_along_axis(offs, order, axis=1), 0)
 
-        offs = np.arange(smax, dtype=np.int32)[None, :] * ivals[:, None]
-        valid_off = np.arange(smax)[None, :] < nseeds[:, None]
-        offs = np.where(valid_off, offs, 0)
-
+        # fw seeds start at depth d from the 5' end; rc seeds are anchored
+        # from the 3' end: depth d covers rc positions [L-d-len, L-d)
+        # (reference instantiateSeq windowGetDna fw=false, aligner_seed.cpp:488)
+        offs_rc = np.where(valid_off, lens[:, None] - offs - slen, 0)
         idx = offs[:, :, None] + np.arange(slen, dtype=np.int32)[None, None, :]
         idx = np.minimum(idx, Lmax - 1)
+        idx_rc = offs_rc[:, :, None] + np.arange(slen, dtype=np.int32)[None, None, :]
+        idx_rc = np.minimum(idx_rc, Lmax - 1)
         rows = np.arange(B)[:, None, None]
         seeds_fw = fw[rows, idx]
-        seeds_rc = rc[rows, idx]
+        seeds_rc = rc[rows, idx_rc]
         seeds = np.concatenate([seeds_fw, seeds_rc], axis=0)  # (2B, smax, slen)
         valid = np.concatenate([valid_off, valid_off], axis=0) \
             & ~(seeds >= 4).any(axis=2)
+
+        # the reference gives a read up entirely when a round instantiates
+        # zero valid seeds in BOTH orientations (bt2_search.cpp:3943-3947
+        # "No seed hits! Done with this mate"), never reaching later rounds.
+        # round_of was compacted with the offsets; reconstruct per-seed round
+        round_of = np.broadcast_to(
+            np.arange(nrounds, dtype=np.int32)[None, :, None],
+            (B, nrounds, per_round.size)).reshape(B, -1)
+        round_of = np.take_along_axis(round_of, order, axis=1)   # (B, smax)
+        alive = np.ones(B, dtype=bool)
+        for r in range(nrounds):
+            mask_r = round_of == r
+            drop = ~alive[:, None] & mask_r
+            valid[:B][drop] = False
+            valid[B:][drop] = False
+            alive &= ((valid[:B] | valid[B:]) & mask_r).any(axis=1)
 
         flat_seeds = seeds.reshape(-1, slen).astype(np.int32)
         flat_valid = valid.reshape(-1)
@@ -373,19 +443,47 @@ class UnpairedAligner:
         top = np.asarray(top)[:2 * B * smax].reshape(2 * B, smax)
         bot = np.asarray(bot)[:2 * B * smax].reshape(2 * B, smax)
         orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
-        offs2 = np.concatenate([offs, offs], axis=0)
-        return orient.astype(np.int32), offs2, top, bot
+        offs2 = np.concatenate([offs, offs_rc], axis=0)
+        mlen = np.full_like(offs2, slen)
+        return orient.astype(np.int32), offs2, top, bot, mlen
+
+    def _half_search(self, both, both_lens):
+        """Pigeonhole half-read exact search (replaces the reference's
+        up-front 1-mismatch search, SeedAligner::oneMmSearch
+        aligner_seed.cpp:975): an end-to-end alignment with <= 1 edit has
+        one exact half, so both halves' exact SA ranges are a complete
+        candidate source for it. both: (2B, Lmax) fw+rc reads.
+        """
+        B2, Lmax = both.shape
+        mid = both_lens // 2
+        Hmax = Lmax // 2 + 1
+        # first half = read[0:mid]; second half = read[mid:L]
+        h1 = both[:, :Hmax].astype(np.int32)
+        idx = np.minimum(mid[:, None] + np.arange(Hmax, dtype=np.int32)[None, :],
+                         Lmax - 1)
+        h2 = both[np.arange(B2)[:, None], idx].astype(np.int32)
+        seqs = np.concatenate([h1, h2], axis=0)
+        hlens = np.concatenate([mid, both_lens - mid]).astype(np.int32)
+        top, bot = fm.substring_search(self.idx.fw, jnp.asarray(seqs),
+                                       jnp.asarray(hlens))
+        top = np.asarray(top).reshape(2, B2).T        # (2B, 2)
+        bot = np.asarray(bot).reshape(2, B2).T
+        off = np.stack([np.zeros(B2, np.int32), mid], axis=1)
+        mlen = np.stack([mid, both_lens - mid], axis=1)
+        return off, top, bot, mlen
 
     def _assemble_candidates(self, B, lens, filtered, sw_top, sw_bot, sw_ned,
-                             seed_or, seed_off, seed_top, seed_bot):
+                             seed_off, seed_top, seed_bot, seed_mlen,
+                             seed_half):
         """Canonical-order candidate list under a per-read budget.
 
         Exact end-to-end hits first (phase 1), then seed-hit SA ranges by
         ascending width (reference prioritizeSATups), rows round-robin
         across ranges so wide ranges don't starve narrow ones.
+        Range-array rows k < B are fw, k >= B are rc.
         """
-        widths = seed_bot - seed_top                 # (2B, smax)
-        cand_read, cand_or, cand_off, cand_row, cand_exact = [], [], [], [], []
+        widths = seed_bot - seed_top                 # (2B, smax+2)
+        cand = ([], [], [], [], [], [], [])          # read,or,off,row,exact,mlen,half
         for i in range(B):
             if filtered[i]:
                 continue
@@ -396,15 +494,13 @@ class UnpairedAligner:
                     take = min(int(sw_bot[k] - sw_top[k]),
                                self.MAX_EXACT_ROWS, budget)
                     for r in range(take):
-                        cand_read.append(i)
-                        cand_or.append(oi)
-                        cand_off.append(0)
-                        cand_row.append(int(sw_top[k]) + r)
-                        cand_exact.append(True)
+                        for lst, v in zip(cand, (i, oi, 0, int(sw_top[k]) + r,
+                                                 True, int(lens[i]), False)):
+                            lst.append(v)
                     budget -= take
             # nonempty seed ranges for this read, both orientations
             rows_i = np.array([i, B + i])
-            w_i = widths[rows_i]                      # (2, smax)
+            w_i = widths[rows_i]                      # (2, smax+2)
             nz = np.nonzero(w_i > 0)
             if nz[0].size == 0 or budget <= 0:
                 continue
@@ -414,6 +510,8 @@ class UnpairedAligner:
             tops = seed_top[rows_i[ors], js]
             ws = w_i[nz][order]
             offs = seed_off[rows_i[ors], js]
+            mlens = seed_mlen[rows_i[ors], js]
+            halfs = seed_half[rows_i[ors], js]
             depth = 0
             while budget > 0:
                 live = depth < ws
@@ -422,18 +520,19 @@ class UnpairedAligner:
                 for t in np.nonzero(live)[0]:
                     if budget <= 0:
                         break
-                    cand_read.append(i)
-                    cand_or.append(int(ors[t]))
-                    cand_off.append(int(offs[t]))
-                    cand_row.append(int(tops[t]) + depth)
-                    cand_exact.append(False)
+                    for lst, v in zip(cand, (i, int(ors[t]), int(offs[t]),
+                                             int(tops[t]) + depth, False,
+                                             int(mlens[t]), bool(halfs[t]))):
+                        lst.append(v)
                     budget -= 1
                 depth += 1
-        return (np.array(cand_read, dtype=np.int64),
-                np.array(cand_or, dtype=np.int64),
-                np.array(cand_off, dtype=np.int64),
-                np.array(cand_row, dtype=np.int32),
-                np.array(cand_exact, dtype=bool))
+        return (np.array(cand[0], dtype=np.int64),
+                np.array(cand[1], dtype=np.int64),
+                np.array(cand[2], dtype=np.int64),
+                np.array(cand[3], dtype=np.int32),
+                np.array(cand[4], dtype=bool),
+                np.array(cand[5], dtype=np.int64),
+                np.array(cand[6], dtype=bool))
 
     def _unaligned(self, rec: SeqRecord, yf: Optional[str] = None) -> SamAlignment:
         opts = []

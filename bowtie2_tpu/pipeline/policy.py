@@ -14,6 +14,17 @@ import math
 from dataclasses import dataclass, field, replace
 from typing import Optional
 
+import numpy as np
+
+# The reference's built-in default constants are C FLOAT literals
+# (scoring.h:50-56 DEFAULT_MIN_CONST (-0.6f) etc.), promoted to double when
+# used — so the effective coefficient is float32(-0.6) = -0.6000000238...,
+# which changes trunc() results (e.g. minsc(159) = -96, not -95). Values
+# parsed from user policy strings are genuine doubles (PARSE_FUNC,
+# aligner_seed_policy.cpp:48-75). Score parity requires both behaviors.
+def _f32(x: float) -> float:
+    return float(np.float32(x))
+
 from bowtie2_tpu.ops.sw import SWParams
 
 FUNC_CONST, FUNC_LINEAR, FUNC_SQRT, FUNC_LOG = "C", "L", "S", "G"
@@ -64,9 +75,9 @@ class Policy:
     ignore_quals: bool = False
     # functions of read length
     score_min: SimpleFunc = field(
-        default_factory=lambda: SimpleFunc(FUNC_LINEAR, -0.6, -0.6))
+        default_factory=lambda: SimpleFunc(FUNC_LINEAR, _f32(-0.6), _f32(-0.6)))
     n_ceil: SimpleFunc = field(
-        default_factory=lambda: SimpleFunc(FUNC_LINEAR, 0.0, 0.15))
+        default_factory=lambda: SimpleFunc(FUNC_LINEAR, 0.0, _f32(0.15)))
     seed_ival: SimpleFunc = field(
         default_factory=lambda: SimpleFunc(FUNC_SQRT, 1.0, 1.15, mn=1.0))
     # multiseed
@@ -161,7 +172,7 @@ def make_policy(preset: str = "sensitive", local: bool = False, **overrides) -> 
         p.local = True
         p.match_bonus = 2
         p.mm_pen_max, p.mm_pen_min = 6, 2
-        p.score_min = SimpleFunc(FUNC_LOG, 20.0, 8.0)
+        p.score_min = SimpleFunc(FUNC_LOG, _f32(20.0), _f32(8.0))
         presets = {
             "very-fast": dict(fail_streak=5, seed_rounds=1, seed_mms=0,
                               seed_len=25, seed_ival=SimpleFunc(FUNC_SQRT, 1, 2.0, mn=1)),
