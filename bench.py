@@ -17,7 +17,7 @@ import os
 import sys
 import time
 
-REF_READS_PER_SEC = 11700.0   # bowtie2-align-s -p1, this host, lambda 10k
+REF_READS_PER_SEC = 18300.0   # bowtie2-align-s -p1, this host, lambda 10k (0.545s)
 LAMBDA_FA = "/root/reference/example/reference/lambda_virus.fa"
 LAMBDA_READS = "/root/reference/example/reads/reads_1.fq"
 IDX_PREFIX = "/tmp/bench_lambda_idx"
@@ -36,17 +36,25 @@ def main():
     data = load_index(IDX_PREFIX)
     records = list(iter_reads(LAMBDA_READS))
 
-    aligner = UnpairedAligner(data, make_policy("sensitive"))
-    BATCH = 1024
-    # warmup on first batch (compile)
-    aligner.align_batch(records[:BATCH])
+    from bowtie2_tpu.pipeline.align import _bucket
 
+    def run(aligner, batch=2048):
+        by_bucket = {}
+        for i, rec in enumerate(records):
+            by_bucket.setdefault(_bucket(max(rec.seq.size, 1)), []).append(i)
+        n = 0
+        for bkt in sorted(by_bucket):
+            idxs = by_bucket[bkt]
+            for k in range(0, len(idxs), batch):
+                chunk = [records[j] for j in idxs[k:k + batch]]
+                aligner.align_batch(chunk)
+                n += len(chunk)
+        return n
+
+    run(UnpairedAligner(data, make_policy("sensitive")))  # warmup/compile
     aligner2 = UnpairedAligner(data, make_policy("sensitive"))
     t0 = time.time()
-    n = 0
-    for k in range(0, len(records), BATCH):
-        aligner2.align_batch(records[k:k + BATCH])
-        n += len(records[k:k + BATCH])
+    n = run(aligner2)
     dt = time.time() - t0
     rps = n / dt
     print(json.dumps({

@@ -11,4 +11,18 @@ Reference behavior contract: BenLangmead/bowtie2 v2.5.5 (see SURVEY.md).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compile cache: the pipeline uses a small set of bucketed
+# shapes, but first-compile on a TPU backend costs seconds per shape —
+# cache across runs unless the user already configured one. The env var
+# alone is not enough: site hooks may import jax before this package, and
+# jax snapshots the env at import, so set the config directly too.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/bowtie2_tpu/jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from bowtie2_tpu.index.fmindex import FMIndex  # noqa: F401

@@ -47,7 +47,7 @@ def cmd_align(argv):
                     const="very-sensitive")
     ap.add_argument("-L", dest="seed_len", type=int, default=None)
     ap.add_argument("-p", "--threads", type=int, default=1)  # accepted; batching supersedes
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("-f", dest="fasta_reads", action="store_true")
     ap.add_argument("--phred64", action="store_true")
     ap.add_argument("-k", dest="khits", type=int, default=1)
@@ -85,19 +85,47 @@ def cmd_align(argv):
     qoff = 64 if args.phred64 else 33
     fmt = "fasta" if args.fasta_reads else "auto"
     t0 = time.time()
-    batch = []
     nreads = 0
-    for rec in iter_reads(args.unpaired, fmt=fmt, qual_offset=qoff):
-        batch.append(rec)
-        if len(batch) >= args.batch:
-            for rec_out in aligner.align_batch(batch):
-                writer.write(rec_out)
-            nreads += len(batch)
-            batch = []
-    if batch:
-        for rec_out in aligner.align_batch(batch):
+    # Window + length-bucket: group reads of similar length so device
+    # shapes stay small and stable (a single long read would otherwise pad
+    # the whole batch to its bucket). Output is restitched in input order —
+    # the reference's --reorder contract (outq.h:38).
+    from bowtie2_tpu.pipeline.align import _bucket
+    window_n = args.batch * 8
+    reader = iter_reads(args.unpaired, fmt=fmt, qual_offset=qoff)
+    done = False
+    while not done:
+        window = []
+        for rec in reader:
+            window.append(rec)
+            if len(window) >= window_n:
+                break
+        else:
+            done = True
+        if not window:
+            break
+        by_bucket = {}
+        for i, rec in enumerate(window):
+            by_bucket.setdefault(_bucket(max(rec.seq.size, 1)), []).append(i)
+        results = [None] * len(window)
+        chunks = []
+        for bkt in sorted(by_bucket):
+            idxs = by_bucket[bkt]
+            for k in range(0, len(idxs), args.batch):
+                chunks.append(idxs[k:k + args.batch])
+        # two worker threads: one batch's host-side phases overlap the
+        # other's device execution (device work serializes on-chip; the
+        # transfer waits release the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+        def run_chunk(chunk):
+            return chunk, aligner.align_batch([window[j] for j in chunk])
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for chunk, outs in ex.map(run_chunk, chunks):
+                for j, rec_out in zip(chunk, outs):
+                    results[j] = rec_out
+        for rec_out in results:
             writer.write(rec_out)
-        nreads += len(batch)
+        nreads += len(window)
     dt = time.time() - t0
     print(aligner.stats.summary(), file=sys.stderr)
     print(f"# {nreads} reads in {dt:.1f}s = {nreads/max(dt,1e-9):.0f} reads/s",

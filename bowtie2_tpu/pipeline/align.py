@@ -27,6 +27,7 @@ tie-breaking is future work — ties here resolve to the canonical order.
 """
 
 import sys
+import threading
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -118,6 +119,7 @@ class UnpairedAligner:
         self.pol = policy
         self.idx = FMIndex.from_host(data)
         self.stats = AlignStats()
+        self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
         self._fn_cache = {}
 
@@ -141,14 +143,23 @@ class UnpairedAligner:
         filtered = (lens == 0) | (n_count > nceil)
 
         # ---------------- phase 1+2: device searches ----------------
+        # dispatch all three searches before pulling any result (the
+        # device→host link is high-latency; stacked single transfers)
         both = np.concatenate([fw, rc], axis=0)          # (2B, Lmax)
         both_lens = np.concatenate([lens, lens])
         sweep = fm.exact_sweep(self.idx.fw, jnp.asarray(both),
                                jnp.asarray(both_lens))
-        seed_or, seed_off, seed_top, seed_bot, seed_mlen = \
+        sweep_d = jnp.stack([sweep.top, sweep.bot, sweep.nedit])
+        seed_or, seed_off, seed_mlen, seed_tb_d, sshape = \
             self._seed_search(fw, rc, lens)
-        half_off, half_top, half_bot, half_mlen = \
-            self._half_search(both, both_lens)
+        half_off, half_mlen, half_tb_d = self._half_search(both, both_lens)
+        sw_top, sw_bot, sw_ned = np.asarray(sweep_d)
+        st_bt = np.asarray(seed_tb_d)
+        seed_top = st_bt[0, :sshape[0]].reshape(sshape[1], sshape[2])
+        seed_bot = st_bt[1, :sshape[0]].reshape(sshape[1], sshape[2])
+        ht_bt = np.asarray(half_tb_d)
+        half_top = ht_bt[0].reshape(2, -1).T
+        half_bot = ht_bt[1].reshape(2, -1).T
         # merge half-read hits into the seed-range arrays (2B, smax+2)
         smax0 = seed_off.shape[1]
         seed_off = np.concatenate([seed_off, half_off], axis=1)
@@ -157,9 +168,6 @@ class UnpairedAligner:
         seed_mlen = np.concatenate([seed_mlen, half_mlen], axis=1)
         seed_half = np.zeros_like(seed_off, dtype=bool)
         seed_half[:, smax0:] = True
-        sw_top = np.asarray(sweep.top)
-        sw_bot = np.asarray(sweep.bot)
-        sw_ned = np.asarray(sweep.nedit)
 
         # ---------------- phase 3: rank + resolve ----------------
         (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
@@ -228,11 +236,21 @@ class UnpairedAligner:
 
             jreads_c = jnp.asarray(reads_c)
             jquals_c = jnp.asarray(quals_c)
-            res = sw_banded(jreads_c, jquals_c, jnp.asarray(lens_c),
+            jlens_c = jnp.asarray(lens_c)
+            res = sw_banded(jreads_c, jquals_c, jlens_c,
                             wins, pol.sw_params(), G)
-            scores = np.asarray(res.score)[:n_cand].astype(np.int64)
-            rows_end = np.asarray(res.row)
-            lanes_end = np.asarray(res.lane)
+            # ungapped mismatch count at the anchor diagonal (for the
+            # half-candidate 1mm admission gate, phase 5) — stacked into the
+            # same transfer as the DP results
+            diag = wins[:, G:G + Lmax]
+            mm_ug_d = jnp.sum(
+                ((jreads_c != diag) | (jreads_c >= 4))
+                & (jnp.arange(Lmax)[None, :] < jlens_c[:, None]), axis=1)
+            sw4 = np.asarray(jnp.stack([res.score, res.row, res.lane, mm_ug_d]))
+            scores = sw4[0, :n_cand].astype(np.int64)
+            rows_end = sw4[1]
+            lanes_end = sw4[2]
+            mm_ug = sw4[3, :n_cand]
         else:
             scores = np.zeros(0, dtype=np.int64)
 
@@ -245,13 +263,7 @@ class UnpairedAligner:
             # the implied end-to-end ungapped alignment has <= 1 mismatch,
             # so sensitivity matches the reference's (stronger use of these
             # hits would align reads the reference reports unaligned).
-            if cand_half[:n_cand].any():
-                diag = jnp.asarray(wins)[:, G:G + Lmax]
-                mm_ug = np.asarray(jnp.sum(
-                    ((jreads_c != diag) | (jreads_c >= 4))
-                    & (jnp.arange(Lmax)[None, :] < jnp.asarray(lens_c)[:, None]),
-                    axis=1))[:n_cand]
-                valid &= ~(cand_half[:n_cand] & (mm_ug > 1))
+            valid &= ~(cand_half[:n_cand] & (mm_ug > 1))
             end_pos = anchor + (lanes_end[:n_cand] - G) + rows_end[:n_cand]
             by_read = {}
             for k in np.nonzero(valid)[0]:
@@ -282,34 +294,37 @@ class UnpairedAligner:
                            jnp.take(jquals_c, jnp.asarray(sel_pad), axis=0),
                            jnp.take(wins, jnp.asarray(sel_pad), axis=0),
                            pol.sw_params(), G)
+            fields = ("read_start", "ref_start_win", "n_mm", "n_go",
+                      "n_gc", "n_refn", "score_check")
+            sc_d = jnp.stack([getattr(bt, f) for f in fields])
             ops_host = np.asarray(bt.ops)            # (S, Bc)
-            tb_scalars = {f: np.asarray(getattr(bt, f)) for f in
-                          ("read_start", "ref_start_win", "n_mm", "n_go",
-                           "n_gc", "n_refn", "score_check")}
+            sc_host = np.asarray(sc_d)               # (7, Bc)
             for ci, k in enumerate(sel.tolist()):
                 tb_of[k] = (ops_host[:, ci],
-                            {f: int(v[ci]) for f, v in tb_scalars.items()})
+                            {f: int(sc_host[fi, ci])
+                             for fi, f in enumerate(fields)})
 
         # ---------------- phase 7: report ----------------
+        st = AlignStats()
         out: List[SamAlignment] = []
         for ri, rec in enumerate(records):
-            self.stats.reads += 1
+            st.reads += 1
             L = int(lens[ri])
             if filtered[ri]:
-                self.stats.filtered += 1
-                self.stats.unal += 1
+                st.filtered += 1
+                st.unal += 1
                 out.append(self._unaligned(rec, "NS"))
                 continue
             ch = chosen_per_read.get(ri)
             if ch is None:
-                self.stats.unal += 1
+                st.unal += 1
                 out.append(self._unaligned(rec))
                 continue
             best_k, sec_k = ch
             opcol, sc = tb_of[best_k]
             if sc["score_check"] != int(scores[best_k]):
                 # should not happen; drop to unaligned rather than emit garbage
-                self.stats.unal += 1
+                st.unal += 1
                 out.append(self._unaligned(rec))
                 continue
 
@@ -317,8 +332,19 @@ class UnpairedAligner:
             read_codes = fw[ri, :L] if orient == 0 else rc[ri, :L]
             read_quals = qu[ri, :L] if orient == 0 else qu_r[ri, :L]
             read_end = int(rows_end[best_k]) + 1
-            cigar_ops, md = cigar_md_from_packed(opcol, sc["read_start"],
-                                                 read_end, L)
+            if sc["n_mm"] == 0 and sc["n_gc"] == 0 and sc["n_refn"] == 0:
+                # pure-match fast path: no op decoding needed
+                span = read_end - sc["read_start"]
+                cigar_ops = []
+                if sc["read_start"] > 0:
+                    cigar_ops.append(("S", sc["read_start"]))
+                cigar_ops.append(("M", span))
+                if read_end < L:
+                    cigar_ops.append(("S", L - read_end))
+                md = str(span)
+            else:
+                cigar_ops, md = cigar_md_from_packed(opcol, sc["read_start"],
+                                                     read_end, L)
             win_start = int(anchor[best_k]) - G
             g_start = win_start + sc["ref_start_win"]
             r_id = int(rid[best_k])
@@ -347,9 +373,12 @@ class UnpairedAligner:
                 rnext="*", pnext=0, tlen=0, seq=seq_out, qual=qual_out,
                 opts=opts))
             if sec is not None:
-                self.stats.al_multi += 1
+                st.al_multi += 1
             else:
-                self.stats.al_one += 1
+                st.al_one += 1
+        with self._stats_lock:
+            for f in ("reads", "unal", "al_one", "al_multi", "filtered"):
+                setattr(self.stats, f, getattr(self.stats, f) + getattr(st, f))
         return out
 
     # ------------------------------------------------------------------
@@ -440,12 +469,11 @@ class UnpairedAligner:
             flat_valid = np.concatenate([flat_valid, np.zeros(pad, bool)])
         top, bot = fm.seed_search_exact(self.idx.fw, jnp.asarray(flat_seeds),
                                         jnp.asarray(flat_valid), slen)
-        top = np.asarray(top)[:2 * B * smax].reshape(2 * B, smax)
-        bot = np.asarray(bot)[:2 * B * smax].reshape(2 * B, smax)
         orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
         offs2 = np.concatenate([offs, offs_rc], axis=0)
         mlen = np.full_like(offs2, slen)
-        return orient.astype(np.int32), offs2, top, bot, mlen
+        return (orient.astype(np.int32), offs2, mlen,
+                jnp.stack([top, bot]), (2 * B * smax, 2 * B, smax))
 
     def _half_search(self, both, both_lens):
         """Pigeonhole half-read exact search (replaces the reference's
@@ -466,11 +494,9 @@ class UnpairedAligner:
         hlens = np.concatenate([mid, both_lens - mid]).astype(np.int32)
         top, bot = fm.substring_search(self.idx.fw, jnp.asarray(seqs),
                                        jnp.asarray(hlens))
-        top = np.asarray(top).reshape(2, B2).T        # (2B, 2)
-        bot = np.asarray(bot).reshape(2, B2).T
         off = np.stack([np.zeros(B2, np.int32), mid], axis=1)
         mlen = np.stack([mid, both_lens - mid], axis=1)
-        return off, top, bot, mlen
+        return off, mlen, jnp.stack([top, bot])
 
     def _assemble_candidates(self, B, lens, filtered, sw_top, sw_bot, sw_ned,
                              seed_off, seed_top, seed_bot, seed_mlen,
