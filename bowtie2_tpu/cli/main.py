@@ -58,7 +58,7 @@ def cmd_align(argv):
     from bowtie2_tpu.index.build import load_index
     from bowtie2_tpu.io.fastx import iter_reads
     from bowtie2_tpu.io.sam import SamWriter
-    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    from bowtie2_tpu.pipeline.align import PairedAligner, UnpairedAligner
     from bowtie2_tpu.pipeline.policy import make_policy
 
     overrides = {}
@@ -73,14 +73,14 @@ def cmd_align(argv):
     pol = make_policy(args.preset, local=args.local, **overrides)
 
     data = load_index(args.index)
-    aligner = UnpairedAligner(data, pol)
+    paired = args.mate1 is not None and args.mate2 is not None
+    aligner = (PairedAligner if paired else UnpairedAligner)(data, pol)
     out = open(args.out, "w") if args.out else sys.stdout
     writer = SamWriter(out, data.ref_names, data.ref_lens,
                        prog_args=" ".join(["bt2x align"] + argv))
 
-    if not args.unpaired:
-        print("paired-end alignment not wired into CLI yet; use -U",
-              file=sys.stderr)
+    if not args.unpaired and not paired:
+        print("provide -U or -1/-2", file=sys.stderr)
         return 2
     qoff = 64 if args.phred64 else 33
     fmt = "fasta" if args.fasta_reads else "auto"
@@ -92,7 +92,15 @@ def cmd_align(argv):
     # the reference's --reorder contract (outq.h:38).
     from bowtie2_tpu.pipeline.align import _bucket
     window_n = args.batch * 8
-    reader = iter_reads(args.unpaired, fmt=fmt, qual_offset=qoff)
+    if paired:
+        def _pair_iter():
+            it1 = iter_reads(args.mate1, fmt=fmt, qual_offset=qoff)
+            it2 = iter_reads(args.mate2, fmt=fmt, qual_offset=qoff)
+            for r1, r2 in zip(it1, it2):
+                yield (r1, r2)
+        reader = _pair_iter()
+    else:
+        reader = iter_reads(args.unpaired, fmt=fmt, qual_offset=qoff)
     done = False
     while not done:
         window = []
@@ -106,7 +114,9 @@ def cmd_align(argv):
             break
         by_bucket = {}
         for i, rec in enumerate(window):
-            by_bucket.setdefault(_bucket(max(rec.seq.size, 1)), []).append(i)
+            ln = max(rec[0].seq.size, rec[1].seq.size) if paired \
+                else rec.seq.size
+            by_bucket.setdefault(_bucket(max(ln, 1)), []).append(i)
         results = [None] * len(window)
         chunks = []
         for bkt in sorted(by_bucket):
@@ -118,13 +128,20 @@ def cmd_align(argv):
         # transfer waits release the GIL)
         from concurrent.futures import ThreadPoolExecutor
         def run_chunk(chunk):
-            return chunk, aligner.align_batch([window[j] for j in chunk])
+            outs = aligner.align_batch([window[j] for j in chunk])
+            if paired:   # two records per pair, regroup
+                outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
+            return chunk, outs
         with ThreadPoolExecutor(max_workers=2) as ex:
             for chunk, outs in ex.map(run_chunk, chunks):
                 for j, rec_out in zip(chunk, outs):
                     results[j] = rec_out
         for rec_out in results:
-            writer.write(rec_out)
+            if paired:
+                for r in rec_out:
+                    writer.write(r)
+            else:
+                writer.write(rec_out)
         nreads += len(window)
     dt = time.time() - t0
     print(aligner.stats.summary(), file=sys.stderr)

@@ -1,15 +1,17 @@
-"""Batched unpaired alignment pipeline.
+"""Batched alignment pipelines (unpaired + paired-end).
 
 Host-side orchestration of the device stages, replacing the reference's
 per-read worker loop (bt2_search.cpp multiseedSearchWorker:3094 and
-SwDriver::extendSeeds aligner_sw_driver.cpp) with fixed-shape batch phases:
+SwDriver::extendSeeds/extendSeedsPaired aligner_sw_driver.cpp) with
+fixed-shape batch phases:
 
   phase 1  exact sweep of whole reads, fw+rc            (device)
-  phase 2  multiseed instantiate → exact seed search    (device)
+  phase 2  multiseed instantiate → exact seed search,
+           pigeonhole half-read search (≈ oneMmSearch)  (device)
   phase 3  rank/sample SA ranges → resolve offsets      (host rank + device walk)
   phase 4  materialize ref windows → banded DP          (device)
-  phase 5  best/secbest select per read                 (host, small arrays)
-  phase 6  backtrace of chosen candidates               (device)
+  phase 5  select / pair / mate-rescue DP               (host + device)
+  phase 6  backtrace of reported candidates             (device)
   phase 7  MAPQ + CIGAR/MD + SAM                        (host)
 
 Irregular per-read work (variable seed counts, range sizes, candidate
@@ -28,8 +30,8 @@ tie-breaking is future work — ties here resolve to the canonical order.
 
 import sys
 import threading
-from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,15 +40,22 @@ from bowtie2_tpu.constants import decode_seq
 from bowtie2_tpu.index.build import IndexData
 from bowtie2_tpu.index.fmindex import FMIndex
 from bowtie2_tpu.io.fastx import SeqRecord
-from bowtie2_tpu.io.sam import SamAlignment, SamWriter, cigar_string, qual_string
+from bowtie2_tpu.io.sam import (FLAG_MATE1, FLAG_MATE2, FLAG_MATE_REVERSE,
+                                FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER,
+                                FLAG_REVERSE, FLAG_UNMAPPED, SamAlignment,
+                                cigar_string, qual_string)
 from bowtie2_tpu.ops import fm
 from bowtie2_tpu.ops.ref import gather_windows
 from bowtie2_tpu.ops.sw import backtrace, sw_banded
 from bowtie2_tpu.pipeline.backtrace import cigar_md_from_packed
 from bowtie2_tpu.pipeline.mapq import mapq_v2
+from bowtie2_tpu.pipeline.pe import PE_DISCORD, pe_classify, rescue_window
 from bowtie2_tpu.pipeline.policy import Policy
 
 LEN_BUCKETS = (64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+BT_FIELDS = ("read_start", "ref_start_win", "n_mm", "n_go",
+             "n_gc", "n_refn", "score_check")
 
 
 def _bucket(n: int, buckets=LEN_BUCKETS) -> int:
@@ -70,9 +79,22 @@ class AlignStats:
     al_one: int = 0
     al_multi: int = 0
     filtered: int = 0
+    # paired-end
+    pairs: int = 0
+    conc_one: int = 0
+    conc_multi: int = 0
+    disc: int = 0
+    mate_al_one: int = 0   # mates of non-conc/disc pairs aligning once
+    mate_al_multi: int = 0
+
+    def merge(self, o: "AlignStats") -> None:
+        for f in self.__dataclass_fields__:
+            setattr(self, f, getattr(self, f) + getattr(o, f))
 
     def summary(self) -> str:
         """stderr summary in the reference's format (aln_sink.cpp printAlSumm)."""
+        if self.pairs:
+            return self._summary_paired()
         n = max(self.reads, 1)
         lines = [f"{self.reads} reads; of these:",
                  f"  {self.reads} (100.00%) were unpaired; of these:",
@@ -82,9 +104,35 @@ class AlignStats:
                  f"{100.0*(self.al_one+self.al_multi)/n:.2f}% overall alignment rate"]
         return "\n".join(lines)
 
+    def _summary_paired(self) -> str:
+        np_ = max(self.pairs, 1)
+        conc0 = self.pairs - self.conc_one - self.conc_multi
+        nodisc = conc0 - self.disc
+        nmates = max(2 * nodisc, 1)
+        mate0 = 2 * nodisc - self.mate_al_one - self.mate_al_multi
+        tot = 2 * self.pairs
+        al = tot - mate0 if tot else 0
+        lines = [
+            f"{self.pairs} reads; of these:",
+            f"  {self.pairs} (100.00%) were paired; of these:",
+            f"    {conc0} ({100.0*conc0/np_:.2f}%) aligned concordantly 0 times",
+            f"    {self.conc_one} ({100.0*self.conc_one/np_:.2f}%) aligned concordantly exactly 1 time",
+            f"    {self.conc_multi} ({100.0*self.conc_multi/np_:.2f}%) aligned concordantly >1 times",
+            "    ----",
+            f"    {conc0} pairs aligned concordantly 0 times; of these:",
+            f"      {self.disc} ({100.0*self.disc/max(conc0,1):.2f}%) aligned discordantly 1 time",
+            "    ----",
+            f"    {nodisc} pairs aligned 0 times concordantly or discordantly; of these:",
+            f"      {2*nodisc} mates make up the pairs; of these:",
+            f"        {mate0} ({100.0*mate0/nmates:.2f}%) aligned 0 times",
+            f"        {self.mate_al_one} ({100.0*self.mate_al_one/nmates:.2f}%) aligned exactly 1 time",
+            f"        {self.mate_al_multi} ({100.0*self.mate_al_multi/nmates:.2f}%) aligned >1 times",
+            f"{100.0*al/max(tot,1):.2f}% overall alignment rate"]
+        return "\n".join(lines)
+
 
 def pad_reads(records: Sequence[SeqRecord], Lmax: int):
-    """Vectorized padding: → (fw, qu, rc, qu_r) each (B, Lmax) int32.
+    """Vectorized padding: → (fw, qu, rc, qu_r, lens), arrays (B, Lmax) int32.
 
     Pad code is 4 (N) for sequence, 0 for quals.
     """
@@ -108,8 +156,53 @@ def pad_reads(records: Sequence[SeqRecord], Lmax: int):
     return fw, qu, rc, qu_r, lens
 
 
-class UnpairedAligner:
-    """Aligns batches of unpaired reads against a loaded index."""
+@dataclass
+class DPPool:
+    """One batch of banded-DP problems + results (device handles kept)."""
+    G: int
+    Lmax: int
+    n: int                       # live problems (rest is padding)
+    win_start: np.ndarray        # (NC,) global window start per problem
+    rid: np.ndarray              # (n,) reference id
+    scores: np.ndarray           # (n,) int64
+    rows_end: np.ndarray         # (NC,)
+    lanes_end: np.ndarray        # (NC,)
+    dirs: object                 # device (Lmax, NC, W)
+    jreads: object               # device (NC, Lmax)
+    jquals: object               # device (NC, Lmax)
+    wins: object                 # device (NC, Lmax + 2G)
+
+    def end_pos(self, k) -> np.ndarray:
+        """Global position of the last ref char consumed (exact)."""
+        return (self.win_start[k] + self.rows_end[k]
+                + self.lanes_end[k]).astype(np.int64)
+
+
+@dataclass
+class CandSet:
+    """Search result for a batch of reads: candidates + DP scores."""
+    B: int
+    Lmax: int
+    lens: np.ndarray
+    fw: np.ndarray
+    qu: np.ndarray
+    rc: np.ndarray
+    qu_r: np.ndarray
+    minsc: np.ndarray
+    perfect: np.ndarray
+    filtered: np.ndarray
+    n_cand: int = 0
+    cand_read: np.ndarray = None
+    cand_or: np.ndarray = None
+    anchor: np.ndarray = None
+    rid: np.ndarray = None
+    valid: np.ndarray = None
+    end_pos: np.ndarray = None
+    pool: Optional[DPPool] = None
+
+
+class BatchAligner:
+    """Shared search machinery for unpaired and paired aligners."""
 
     MAX_EXACT_ROWS = 4      # rows resolved per exact-hit range per orientation
     NC_PER_READ = 16        # candidate extension budget per read (~ -D/maxIters)
@@ -121,37 +214,46 @@ class UnpairedAligner:
         self.stats = AlignStats()
         self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
-        self._fn_cache = {}
 
-    # ------------------------------------------------------------------
-    def align_batch(self, records: Sequence[SeqRecord]) -> List[SamAlignment]:
+    # ---------------- phases 1-5a: search → scored candidates ----------------
+    def _search_candidates(self, records: Sequence[SeqRecord],
+                           paired: bool = False) -> CandSet:
         pol = self.pol
         B = len(records)
-        if B == 0:
-            return []
         fw, qu, rc, qu_r, lens = pad_reads(
-            records, _bucket(max(int(r.seq.size) for r in records)))
+            records, _bucket(max(max(int(r.seq.size) for r in records), 1)))
         Lmax = fw.shape[1]
 
-        # per-length policy values via the unique lengths
         ulen, inv = np.unique(lens, return_inverse=True)
-        minsc = np.array([pol.min_score(int(l)) for l in ulen], np.int64)[inv]
+        minsc = np.array([pol.min_score(int(l)) if l else 0
+                          for l in ulen], np.int64)[inv]
         perfect = np.array([pol.perfect_score(int(l)) if pol.local else 0
                             for l in ulen], np.int64)[inv]
-        nceil = np.array([pol.nceil(int(l)) for l in ulen], np.int32)[inv]
+        nceil = np.array([pol.nceil(int(l)) if l else 0
+                          for l in ulen], np.int32)[inv]
         n_count = (fw >= 4).sum(axis=1) - (Lmax - lens)
         filtered = (lens == 0) | (n_count > nceil)
 
-        # ---------------- phase 1+2: device searches ----------------
-        # dispatch all three searches before pulling any result (the
-        # device→host link is high-latency; stacked single transfers)
+        cs = CandSet(B=B, Lmax=Lmax, lens=lens, fw=fw, qu=qu, rc=rc,
+                     qu_r=qu_r, minsc=minsc, perfect=perfect,
+                     filtered=filtered)
+
+        # phase 1+2: dispatch all three searches before pulling any result
+        # (the device→host link is high-latency; stacked single transfers)
         both = np.concatenate([fw, rc], axis=0)          # (2B, Lmax)
         both_lens = np.concatenate([lens, lens])
         sweep = fm.exact_sweep(self.idx.fw, jnp.asarray(both),
                                jnp.asarray(both_lens))
         sweep_d = jnp.stack([sweep.top, sweep.bot, sweep.nedit])
+        # paired-end reads with both mates passing filter get a 20%-boosted
+        # seed interval (bt2_search.cpp:3445-3448)
+        ival_boost = None
+        if paired:
+            hb = B // 2
+            okm = ~filtered
+            ival_boost = okm & np.roll(okm, hb)
         seed_or, seed_off, seed_mlen, seed_tb_d, sshape = \
-            self._seed_search(fw, rc, lens)
+            self._seed_search(fw, rc, lens, ival_boost)
         half_off, half_mlen, half_tb_d = self._half_search(both, both_lens)
         sw_top, sw_bot, sw_ned = np.asarray(sweep_d)
         st_bt = np.asarray(seed_tb_d)
@@ -169,225 +271,239 @@ class UnpairedAligner:
         seed_half = np.zeros_like(seed_off, dtype=bool)
         seed_half[:, smax0:] = True
 
-        # ---------------- phase 3: rank + resolve ----------------
+        # phase 3: rank + resolve
         (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
          cand_half) = \
             self._assemble_candidates(B, lens, filtered, sw_top, sw_bot,
                                       sw_ned, seed_off, seed_top,
                                       seed_bot, seed_mlen, seed_half)
         n_cand = cand_row.size
-        if n_cand:
-            NR = _pow2_at_least(n_cand)
-            rows_pad = np.zeros(NR, dtype=np.int32)
-            rows_pad[:n_cand] = cand_row
-            jpos = np.asarray(fm.sa_resolve(
-                self.idx.fw, jnp.asarray(rows_pad),
-                period=1 << self.data.off_rate))[:n_cand].astype(np.int64)
+        if not n_cand:
+            cs.n_cand = 0
+            cs.cand_read = np.zeros(0, np.int64)
+            return cs
 
-            # straddle filter: the matched stretch must stay in one segment
-            seg = np.searchsorted(self.data.seg_joined_start, jpos,
-                                  side="right") - 1
-            ok = jpos + cand_mlen <= self._seg_end_joined[seg]
-            cand_read, cand_or, cand_off, cand_exact, cand_half, jpos, seg = (
-                a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,
-                                cand_half, jpos, seg))
+        NR = _pow2_at_least(n_cand)
+        rows_pad = np.zeros(NR, dtype=np.int32)
+        rows_pad[:n_cand] = cand_row
+        jpos = np.asarray(fm.sa_resolve(
+            self.idx.fw, jnp.asarray(rows_pad),
+            period=1 << self.data.off_rate))[:n_cand].astype(np.int64)
 
-            gpos = (self.data.seg_global_start[seg]
-                    + (jpos - self.data.seg_joined_start[seg]))
-            anchor = gpos - cand_off
-            rid = np.searchsorted(self.data.ref_cum, gpos, side="right") - 1
+        # straddle filter: the matched stretch must stay in one segment
+        seg = np.searchsorted(self.data.seg_joined_start, jpos,
+                              side="right") - 1
+        ok = jpos + cand_mlen <= self._seg_end_joined[seg]
+        cand_read, cand_or, cand_off, cand_exact, cand_half, jpos, seg = (
+            a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,
+                            cand_half, jpos, seg))
 
-            # dedupe by (read, orient, anchor); canonical order keeps exacts
-            key = (cand_read.astype(np.int64) * 2 + cand_or) * (1 << 40) \
-                + (anchor + (1 << 35))
-            _, first_idx = np.unique(key, return_index=True)
-            first_idx.sort()
-            cand_read, cand_or, cand_exact, cand_half, anchor, rid = (
-                a[first_idx] for a in (cand_read, cand_or, cand_exact,
-                                       cand_half, anchor, rid))
-        else:
-            anchor = np.zeros(0, dtype=np.int64)
-            rid = np.zeros(0, dtype=np.int64)
+        gpos = (self.data.seg_global_start[seg]
+                + (jpos - self.data.seg_joined_start[seg]))
+        anchor = gpos - cand_off
+        rid = np.searchsorted(self.data.ref_cum, gpos, side="right") - 1
 
-        # ---------------- phase 4: windows + DP ----------------
+        # dedupe by (read, orient, anchor); canonical order keeps exacts
+        key = (cand_read.astype(np.int64) * 2 + cand_or) * (1 << 40) \
+            + (anchor + (1 << 35))
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()
+        cand_read, cand_or, cand_exact, cand_half, anchor, rid = (
+            a[first_idx] for a in (cand_read, cand_or, cand_exact,
+                                   cand_half, anchor, rid))
+
+        # phase 4: windows + DP
         n_cand = anchor.size
         G = pol.band_halfwidth(Lmax)
-        if n_cand:
-            width = Lmax + 2 * G
-            NC = _pow2_at_least(n_cand)
-            starts = np.zeros(NC, dtype=np.int32)
-            lo = np.zeros(NC, dtype=np.int32)
-            hi = np.zeros(NC, dtype=np.int32)
-            starts[:n_cand] = (anchor - G).astype(np.int32)
-            lo[:n_cand] = self.data.ref_cum[rid].astype(np.int32)
-            hi[:n_cand] = self.data.ref_cum[rid + 1].astype(np.int32)
-            wins = gather_windows(self.idx.ref_words, self.idx.refn_words,
-                                  jnp.asarray(starts), jnp.asarray(lo),
-                                  jnp.asarray(hi), width)
+        pool = self._run_dp(anchor - G, rid, cand_read, cand_or,
+                            fw, qu, rc, qu_r, lens, G, Lmax, n_cand)
 
-            cr = np.zeros(NC, dtype=np.int64)
-            cr[:n_cand] = cand_read
-            co = np.zeros(NC, dtype=np.int64)
-            co[:n_cand] = cand_or
-            reads_c = np.where((co == 0)[:, None], fw[cr], rc[cr])
-            quals_c = np.where((co == 0)[:, None], qu[cr], qu_r[cr])
-            lens_c = np.maximum(lens[cr], 1)
-            lens_c[n_cand:] = 1
+        valid = pool.scores >= minsc[cand_read]
+        # half-read (pigeonhole) candidates model the reference's up-front
+        # 1-mismatch search (oneMmSearch): only admit them when the implied
+        # end-to-end ungapped alignment has <= 1 mismatch, so sensitivity
+        # matches the reference's.
+        valid &= ~(cand_half & (pool.mm_ug > 1))
 
-            jreads_c = jnp.asarray(reads_c)
-            jquals_c = jnp.asarray(quals_c)
-            jlens_c = jnp.asarray(lens_c)
-            res = sw_banded(jreads_c, jquals_c, jlens_c,
-                            wins, pol.sw_params(), G)
-            # ungapped mismatch count at the anchor diagonal (for the
-            # half-candidate 1mm admission gate, phase 5) — stacked into the
-            # same transfer as the DP results
-            diag = wins[:, G:G + Lmax]
-            mm_ug_d = jnp.sum(
-                ((jreads_c != diag) | (jreads_c >= 4))
-                & (jnp.arange(Lmax)[None, :] < jlens_c[:, None]), axis=1)
-            sw4 = np.asarray(jnp.stack([res.score, res.row, res.lane, mm_ug_d]))
-            scores = sw4[0, :n_cand].astype(np.int64)
-            rows_end = sw4[1]
-            lanes_end = sw4[2]
-            mm_ug = sw4[3, :n_cand]
-        else:
-            scores = np.zeros(0, dtype=np.int64)
+        cs.n_cand = n_cand
+        cs.cand_read = cand_read
+        cs.cand_or = cand_or
+        cs.anchor = anchor
+        cs.rid = rid
+        cs.valid = valid
+        cs.end_pos = pool.end_pos(np.arange(n_cand))
+        cs.pool = pool
+        return cs
 
-        # ---------------- phase 5: select per read ----------------
-        chosen_per_read = {}
-        if n_cand:
-            valid = scores >= minsc[cand_read]
-            # half-read (pigeonhole) candidates model the reference's
-            # up-front 1-mismatch search (oneMmSearch): only admit them when
-            # the implied end-to-end ungapped alignment has <= 1 mismatch,
-            # so sensitivity matches the reference's (stronger use of these
-            # hits would align reads the reference reports unaligned).
-            valid &= ~(cand_half[:n_cand] & (mm_ug > 1))
-            end_pos = anchor + (lanes_end[:n_cand] - G) + rows_end[:n_cand]
-            by_read = {}
-            for k in np.nonzero(valid)[0]:
-                by_read.setdefault(int(cand_read[k]), []).append(int(k))
-            for ri, ks in by_read.items():
-                # dedupe identical final alignments
-                seen = {}
-                for k in ks:
-                    kk = (int(cand_or[k]), int(end_pos[k]))
-                    if kk not in seen or scores[k] > scores[seen[kk]]:
-                        seen[kk] = k
-                uniq = sorted(seen.values(),
-                              key=lambda k: (-scores[k], ks.index(k)))
-                chosen_per_read[ri] = (uniq[0],
-                                       uniq[1] if len(uniq) > 1 else None)
+    def _run_dp(self, win_start, rid, read_idx, orient, fw, qu, rc, qu_r,
+                lens, G: int, Lmax: int, n: int) -> DPPool:
+        """Gather windows + run banded DP for n problems (padded to pow2)."""
+        pol = self.pol
+        width = Lmax + 2 * G
+        NC = _pow2_at_least(max(n, 1))
+        starts = np.zeros(NC, dtype=np.int32)
+        lo = np.zeros(NC, dtype=np.int32)
+        hi = np.zeros(NC, dtype=np.int32)
+        starts[:n] = win_start.astype(np.int32)
+        lo[:n] = self.data.ref_cum[rid].astype(np.int32)
+        hi[:n] = self.data.ref_cum[rid + 1].astype(np.int32)
+        wins = gather_windows(self.idx.ref_words, self.idx.refn_words,
+                              jnp.asarray(starts), jnp.asarray(lo),
+                              jnp.asarray(hi), width)
 
-        # ---------------- phase 6: device backtrace of chosen ----------------
-        tb_of = {}
-        if chosen_per_read:
-            sel = np.array([v[0] for v in chosen_per_read.values()], np.int32)
-            Bc = _pow2_at_least(sel.size, lo=64)
-            sel_pad = np.zeros(Bc, np.int32)
-            sel_pad[:sel.size] = sel
-            bt = backtrace(res.dirs, jnp.asarray(sel_pad),
-                           jnp.asarray(rows_end[sel_pad]),
-                           jnp.asarray(lanes_end[sel_pad]),
-                           jnp.take(jreads_c, jnp.asarray(sel_pad), axis=0),
-                           jnp.take(jquals_c, jnp.asarray(sel_pad), axis=0),
-                           jnp.take(wins, jnp.asarray(sel_pad), axis=0),
-                           pol.sw_params(), G)
-            fields = ("read_start", "ref_start_win", "n_mm", "n_go",
-                      "n_gc", "n_refn", "score_check")
-            sc_d = jnp.stack([getattr(bt, f) for f in fields])
-            ops_host = np.asarray(bt.ops)            # (S, Bc)
-            sc_host = np.asarray(sc_d)               # (7, Bc)
-            for ci, k in enumerate(sel.tolist()):
-                tb_of[k] = (ops_host[:, ci],
-                            {f: int(sc_host[fi, ci])
-                             for fi, f in enumerate(fields)})
+        cr = np.zeros(NC, dtype=np.int64)
+        cr[:n] = read_idx
+        co = np.zeros(NC, dtype=np.int64)
+        co[:n] = orient
+        reads_c = np.where((co == 0)[:, None], fw[cr], rc[cr])
+        quals_c = np.where((co == 0)[:, None], qu[cr], qu_r[cr])
+        lens_c = np.maximum(lens[cr], 1)
+        lens_c[n:] = 1
 
-        # ---------------- phase 7: report ----------------
-        st = AlignStats()
-        out: List[SamAlignment] = []
-        for ri, rec in enumerate(records):
-            st.reads += 1
-            L = int(lens[ri])
-            if filtered[ri]:
-                st.filtered += 1
-                st.unal += 1
-                out.append(self._unaligned(rec, "NS"))
-                continue
-            ch = chosen_per_read.get(ri)
-            if ch is None:
-                st.unal += 1
-                out.append(self._unaligned(rec))
-                continue
-            best_k, sec_k = ch
-            opcol, sc = tb_of[best_k]
-            if sc["score_check"] != int(scores[best_k]):
-                # should not happen; drop to unaligned rather than emit garbage
-                st.unal += 1
-                out.append(self._unaligned(rec))
-                continue
+        jreads_c = jnp.asarray(reads_c)
+        jquals_c = jnp.asarray(quals_c)
+        jlens_c = jnp.asarray(lens_c)
+        res = sw_banded(jreads_c, jquals_c, jlens_c, wins, pol.sw_params(), G)
+        # ungapped mismatch count at the anchor diagonal (for the
+        # half-candidate 1mm admission gate) — same transfer as DP results
+        diag = wins[:, G:G + Lmax]
+        mm_ug_d = jnp.sum(
+            ((jreads_c != diag) | (jreads_c >= 4))
+            & (jnp.arange(Lmax)[None, :] < jlens_c[:, None]), axis=1)
+        sw4 = np.asarray(jnp.stack([res.score, res.row, res.lane, mm_ug_d]))
+        ws = np.zeros(NC, dtype=np.int64)
+        ws[:n] = win_start
+        pool = DPPool(G=G, Lmax=Lmax, n=n, win_start=ws,
+                      rid=rid, scores=sw4[0, :n].astype(np.int64),
+                      rows_end=sw4[1], lanes_end=sw4[2],
+                      dirs=res.dirs, jreads=jreads_c, jquals=jquals_c,
+                      wins=wins)
+        pool.mm_ug = sw4[3, :n]
+        return pool
 
-            orient = int(cand_or[best_k])
-            read_codes = fw[ri, :L] if orient == 0 else rc[ri, :L]
-            read_quals = qu[ri, :L] if orient == 0 else qu_r[ri, :L]
-            read_end = int(rows_end[best_k]) + 1
-            if sc["n_mm"] == 0 and sc["n_gc"] == 0 and sc["n_refn"] == 0:
-                # pure-match fast path: no op decoding needed
-                span = read_end - sc["read_start"]
-                cigar_ops = []
-                if sc["read_start"] > 0:
-                    cigar_ops.append(("S", sc["read_start"]))
-                cigar_ops.append(("M", span))
-                if read_end < L:
-                    cigar_ops.append(("S", L - read_end))
-                md = str(span)
-            else:
-                cigar_ops, md = cigar_md_from_packed(opcol, sc["read_start"],
-                                                     read_end, L)
-            win_start = int(anchor[best_k]) - G
-            g_start = win_start + sc["ref_start_win"]
-            r_id = int(rid[best_k])
-            roff = g_start - int(self.data.ref_cum[r_id])
-            best = int(scores[best_k])
-            sec = int(scores[sec_k]) if sec_k is not None else None
-            per = int(perfect[ri]) if pol.local else 0
-            mq = mapq_v2(best, sec, per, int(minsc[ri]), pol.local)
-
-            flag = 0x10 if orient else 0
-            seq_out = decode_seq(read_codes.astype(np.uint8)).decode()
-            qual_out = qual_string(read_quals)
-            opts = [("AS", "i", best)]
-            if sec is not None:
-                opts.append(("XS", "i", sec))
-            opts += [("XN", "i", sc["n_refn"]),
-                     ("XM", "i", sc["n_mm"]),
-                     ("XO", "i", sc["n_go"]),
-                     ("XG", "i", sc["n_gc"]),
-                     ("NM", "i", sc["n_mm"] + sc["n_gc"]),
-                     ("MD", "Z", md),
-                     ("YT", "Z", "UU")]
-            out.append(SamAlignment(
-                qname=rec.name, flag=flag, rname=self.data.ref_names[r_id],
-                pos=roff + 1, mapq=mq, cigar=cigar_string(cigar_ops),
-                rnext="*", pnext=0, tlen=0, seq=seq_out, qual=qual_out,
-                opts=opts))
-            if sec is not None:
-                st.al_multi += 1
-            else:
-                st.al_one += 1
-        with self._stats_lock:
-            for f in ("reads", "unal", "al_one", "al_multi", "filtered"):
-                setattr(self.stats, f, getattr(self.stats, f) + getattr(st, f))
+    # ---------------- phase 6: backtrace of chosen problems ----------------
+    def _backtrace_sel(self, pool: DPPool, sel: np.ndarray):
+        """Backtrace pool problems sel → {k: (opcol, scalars dict)}."""
+        if sel.size == 0:
+            return {}
+        Bc = _pow2_at_least(sel.size, lo=64)
+        sel_pad = np.zeros(Bc, np.int32)
+        sel_pad[:sel.size] = sel
+        jsel = jnp.asarray(sel_pad)
+        bt = backtrace(pool.dirs, jsel,
+                       jnp.asarray(pool.rows_end[sel_pad].astype(np.int32)),
+                       jnp.asarray(pool.lanes_end[sel_pad].astype(np.int32)),
+                       jnp.take(pool.jreads, jsel, axis=0),
+                       jnp.take(pool.jquals, jsel, axis=0),
+                       jnp.take(pool.wins, jsel, axis=0),
+                       self.pol.sw_params(), pool.G)
+        sc_d = jnp.stack([getattr(bt, f) for f in BT_FIELDS])
+        ops_host = np.asarray(bt.ops)            # (S, Bc)
+        sc_host = np.asarray(sc_d)               # (7, Bc)
+        out = {}
+        for ci, k in enumerate(sel.tolist()):
+            out[k] = (ops_host[:, ci],
+                      {f: int(sc_host[fi, ci])
+                       for fi, f in enumerate(BT_FIELDS)})
         return out
 
+    # ---------------- per-read candidate ranking ----------------
+    def _rank_per_read(self, cs: CandSet) -> Dict[int, List[int]]:
+        """read → candidate indices: deduped by (orient, end), sorted by
+        (-score, canonical order)."""
+        by_read: Dict[int, List[int]] = {}
+        if not cs.n_cand:
+            return by_read
+        scores = cs.pool.scores
+        for k in np.nonzero(cs.valid)[0]:
+            by_read.setdefault(int(cs.cand_read[k]), []).append(int(k))
+        out = {}
+        for ri, ks in by_read.items():
+            seen = {}
+            for k in ks:
+                kk = (int(cs.cand_or[k]), int(cs.end_pos[k]))
+                if kk not in seen or scores[k] > scores[seen[kk]]:
+                    seen[kk] = k
+            out[ri] = sorted(seen.values(),
+                             key=lambda k: (-scores[k], ks.index(k)))
+        return out
+
+    # ---------------- SAM record construction ----------------
+    def _emit_aligned(self, rec: SeqRecord, L: int, orient: int,
+                      read_codes, read_quals, pool: DPPool, k: int,
+                      tb, best: int, sec: Optional[int], mapq: int,
+                      yt: str, flag_extra: int = 0, rnext: str = "*",
+                      pnext: int = 0, tlen: int = 0,
+                      ys: Optional[int] = None) -> Optional[SamAlignment]:
+        opcol, sc = tb
+        if sc["score_check"] != int(pool.scores[k]):
+            return None
+        read_end = int(pool.rows_end[k]) + 1
+        if sc["n_mm"] == 0 and sc["n_gc"] == 0 and sc["n_refn"] == 0:
+            span = read_end - sc["read_start"]
+            cigar_ops = []
+            if sc["read_start"] > 0:
+                cigar_ops.append(("S", sc["read_start"]))
+            cigar_ops.append(("M", span))
+            if read_end < L:
+                cigar_ops.append(("S", L - read_end))
+            md = str(span)
+        else:
+            cigar_ops, md = cigar_md_from_packed(opcol, sc["read_start"],
+                                                 read_end, L)
+        r_id = int(pool.rid[k])
+        g_start = int(pool.win_start[k]) + sc["ref_start_win"]
+        roff = g_start - int(self.data.ref_cum[r_id])
+        flag = flag_extra | (FLAG_REVERSE if orient else 0)
+        opts = [("AS", "i", best)]
+        if sec is not None:
+            opts.append(("XS", "i", sec))
+        opts += [("XN", "i", sc["n_refn"]),
+                 ("XM", "i", sc["n_mm"]),
+                 ("XO", "i", sc["n_go"]),
+                 ("XG", "i", sc["n_gc"]),
+                 ("NM", "i", sc["n_mm"] + sc["n_gc"])]
+        if ys is not None:
+            opts.append(("YS", "i", ys))
+        opts += [("MD", "Z", md), ("YT", "Z", yt)]
+        return SamAlignment(
+            qname=rec.name, flag=flag, rname=self.data.ref_names[r_id],
+            pos=roff + 1, mapq=mapq, cigar=cigar_string(cigar_ops),
+            rnext=rnext, pnext=pnext, tlen=tlen,
+            seq=decode_seq(read_codes.astype(np.uint8)).decode(),
+            qual=qual_string(read_quals), opts=opts)
+
+    def _unaligned(self, rec: SeqRecord, yf: Optional[str] = None,
+                   yt: str = "UU", flag_extra: int = 0, rname: str = "*",
+                   pos: int = 0, rnext: str = "*",
+                   pnext: int = 0) -> SamAlignment:
+        opts = [("YT", "Z", yt)]
+        if yf:
+            opts.append(("YF", "Z", yf))
+        return SamAlignment(
+            qname=rec.name, flag=FLAG_UNMAPPED | flag_extra, rname=rname,
+            pos=pos, mapq=0, cigar="*", rnext=rnext, pnext=pnext,
+            seq=decode_seq(rec.seq.astype(np.uint8)).decode(),
+            qual=qual_string(rec.qual), opts=opts)
+
+    def _oriented(self, cs: CandSet, ri: int, orient: int):
+        L = int(cs.lens[ri])
+        if orient == 0:
+            return cs.fw[ri, :L], cs.qu[ri, :L]
+        return cs.rc[ri, :L], cs.qu_r[ri, :L]
+
+    def _merge_stats(self, st: AlignStats) -> None:
+        with self._stats_lock:
+            self.stats.merge(st)
+
     # ------------------------------------------------------------------
-    def _seed_search(self, fw, rc, lens):
+    def _seed_search(self, fw, rc, lens, ival_boost=None):
         """Instantiate + search seeds for both orientations (vectorized).
 
-        Returns (orient, offsets, top, bot) each (2B, smax); empty ranges
-        have top == bot. Row k < B is fw read k; row B+k is rc read k.
-        (Reference instantiateSeeds aligner_seed.cpp:498 + searchAllSeeds.)
+        fw seeds start at depth d from the 5' end; rc seeds are anchored
+        from the 3' end (reference instantiateSeq windowGetDna fw=false,
+        aligner_seed.cpp:488). Reference: instantiateSeeds
+        aligner_seed.cpp:498 + searchAllSeeds.
         """
         pol = self.pol
         B, Lmax = fw.shape
@@ -400,21 +516,20 @@ class UnpairedAligner:
         # the repetitive-read boost pass is future work.
         nrounds = 1
         ulen, inv = np.unique(lens, return_inverse=True)
-        ival_u = np.array([pol.interval(int(l)) for l in ulen], np.int32)
+        ival_u = np.array([pol.interval(int(l)) if l else 1
+                           for l in ulen], np.int32)
         ivals = ival_u[inv]
+        if ival_boost is not None:
+            ivals = np.where(ival_boost,
+                             (ivals * 1.2 + 0.5).astype(np.int32),
+                             ivals)
+            ivals = np.maximum(ivals, 1)
 
-        # seed offsets from ALL multiseed rounds at once: round r starts at
-        # (interval * r) / nrounds (bt2_search.cpp:3911), seeds every
-        # interval while they fit. The reference may stop after an earlier
-        # round (ReportingState short-circuits); searching the union is a
-        # sensitivity superset — acceptable until RNG/effort parity work.
         base = (ivals[:, None] * np.arange(nrounds, dtype=np.int32)[None, :]
                 ) // nrounds                             # (B, nrounds)
         per_round = np.arange(64, dtype=np.int32)        # max seeds per round
         offs = (base[:, :, None] + per_round[None, None, :] * ivals[:, None, None])
         valid_off = offs + slen <= lens[:, None, None]
-        # a round is skipped when seeds are already packed as tight as
-        # possible (reference: interval <= roundi → continue)
         valid_off &= (np.arange(nrounds, dtype=np.int32)[None, :, None]
                       < ivals[:, None, None])
         offs = offs.reshape(B, -1)
@@ -422,15 +537,11 @@ class UnpairedAligner:
         nkeep = int(valid_off.sum(axis=1).max()) if B else 1
         smax = max(nkeep, 1)
         smax = 1 << int(np.ceil(np.log2(smax)))          # bucket for stability
-        # compact the valid offsets left into (B, smax)
         order = np.argsort(~valid_off, axis=1, kind="stable")[:, :smax]
         valid_off = np.take_along_axis(valid_off, order, axis=1)
         offs = np.where(valid_off,
                         np.take_along_axis(offs, order, axis=1), 0)
 
-        # fw seeds start at depth d from the 5' end; rc seeds are anchored
-        # from the 3' end: depth d covers rc positions [L-d-len, L-d)
-        # (reference instantiateSeq windowGetDna fw=false, aligner_seed.cpp:488)
         offs_rc = np.where(valid_off, lens[:, None] - offs - slen, 0)
         idx = offs[:, :, None] + np.arange(slen, dtype=np.int32)[None, None, :]
         idx = np.minimum(idx, Lmax - 1)
@@ -442,22 +553,6 @@ class UnpairedAligner:
         seeds = np.concatenate([seeds_fw, seeds_rc], axis=0)  # (2B, smax, slen)
         valid = np.concatenate([valid_off, valid_off], axis=0) \
             & ~(seeds >= 4).any(axis=2)
-
-        # the reference gives a read up entirely when a round instantiates
-        # zero valid seeds in BOTH orientations (bt2_search.cpp:3943-3947
-        # "No seed hits! Done with this mate"), never reaching later rounds.
-        # round_of was compacted with the offsets; reconstruct per-seed round
-        round_of = np.broadcast_to(
-            np.arange(nrounds, dtype=np.int32)[None, :, None],
-            (B, nrounds, per_round.size)).reshape(B, -1)
-        round_of = np.take_along_axis(round_of, order, axis=1)   # (B, smax)
-        alive = np.ones(B, dtype=bool)
-        for r in range(nrounds):
-            mask_r = round_of == r
-            drop = ~alive[:, None] & mask_r
-            valid[:B][drop] = False
-            valid[B:][drop] = False
-            alive &= ((valid[:B] | valid[B:]) & mask_r).any(axis=1)
 
         flat_seeds = seeds.reshape(-1, slen).astype(np.int32)
         flat_valid = valid.reshape(-1)
@@ -485,7 +580,6 @@ class UnpairedAligner:
         B2, Lmax = both.shape
         mid = both_lens // 2
         Hmax = Lmax // 2 + 1
-        # first half = read[0:mid]; second half = read[mid:L]
         h1 = both[:, :Hmax].astype(np.int32)
         idx = np.minimum(mid[:, None] + np.arange(Hmax, dtype=np.int32)[None, :],
                          Lmax - 1)
@@ -524,7 +618,6 @@ class UnpairedAligner:
                                                  True, int(lens[i]), False)):
                             lst.append(v)
                     budget -= take
-            # nonempty seed ranges for this read, both orientations
             rows_i = np.array([i, B + i])
             w_i = widths[rows_i]                      # (2, smax+2)
             nz = np.nonzero(w_i > 0)
@@ -560,12 +653,339 @@ class UnpairedAligner:
                 np.array(cand[5], dtype=np.int64),
                 np.array(cand[6], dtype=bool))
 
-    def _unaligned(self, rec: SeqRecord, yf: Optional[str] = None) -> SamAlignment:
-        opts = []
-        if yf:
-            opts.append(("YF", "Z", yf))
-        opts.append(("YT", "Z", "UU"))
-        return SamAlignment(
-            qname=rec.name, flag=4, rname="*", pos=0, mapq=0, cigar="*",
-            seq=decode_seq(rec.seq.astype(np.uint8)).decode(),
-            qual=qual_string(rec.qual), opts=opts)
+
+class UnpairedAligner(BatchAligner):
+    """Aligns batches of unpaired reads against a loaded index."""
+
+    def align_batch(self, records: Sequence[SeqRecord]) -> List[SamAlignment]:
+        if not records:
+            return []
+        cs = self._search_candidates(records)
+        ranked = self._rank_per_read(cs)
+        chosen = {ri: (ks[0], ks[1] if len(ks) > 1 else None)
+                  for ri, ks in ranked.items()}
+        sel = np.array([v[0] for v in chosen.values()], np.int32)
+        tb_of = self._backtrace_sel(cs.pool, sel) if chosen else {}
+
+        st = AlignStats()
+        out: List[SamAlignment] = []
+        for ri, rec in enumerate(records):
+            st.reads += 1
+            L = int(cs.lens[ri])
+            if cs.filtered[ri]:
+                st.filtered += 1
+                st.unal += 1
+                out.append(self._unaligned(rec, "NS"))
+                continue
+            ch = chosen.get(ri)
+            if ch is None:
+                st.unal += 1
+                out.append(self._unaligned(rec))
+                continue
+            best_k, sec_k = ch
+            scores = cs.pool.scores
+            best = int(scores[best_k])
+            sec = int(scores[sec_k]) if sec_k is not None else None
+            per = int(cs.perfect[ri]) if self.pol.local else 0
+            mq = mapq_v2(best, sec, per, int(cs.minsc[ri]), self.pol.local)
+            orient = int(cs.cand_or[best_k])
+            codes, quals = self._oriented(cs, ri, orient)
+            rec_out = self._emit_aligned(rec, L, orient, codes, quals,
+                                         cs.pool, best_k, tb_of[best_k],
+                                         best, sec, mq, "UU")
+            if rec_out is None:
+                st.unal += 1
+                out.append(self._unaligned(rec))
+                continue
+            out.append(rec_out)
+            if sec is not None:
+                st.al_multi += 1
+            else:
+                st.al_one += 1
+        self._merge_stats(st)
+        return out
+
+
+class PairedAligner(BatchAligner):
+    """Aligns batches of read pairs: concordant search, mate rescue DP,
+    discordant and mixed fallbacks (reference SwDriver::extendSeedsPaired +
+    PairedEndPolicy, aligner_sw_driver.cpp / pe.cpp)."""
+
+    def align_batch(self, pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
+                    ) -> List[SamAlignment]:
+        if not pairs:
+            return []
+        pol = self.pol
+        B = len(pairs)
+        records = [p[0] for p in pairs] + [p[1] for p in pairs]
+        cs = self._search_candidates(records, paired=True)
+        ranked = self._rank_per_read(cs)
+
+        # exact extents need backtrace of every ranked candidate
+        all_ks = sorted({k for ks in ranked.values() for k in ks})
+        if cs.pool is not None:
+            tb_of = self._backtrace_sel(cs.pool, np.array(all_ks, np.int32))
+            ext_lo = {k: int(cs.pool.win_start[k])
+                      + tb_of[k][1]["ref_start_win"] for k in all_ks}
+            ext_hi = {k: int(cs.end_pos[k]) for k in all_ks}
+            scores = cs.pool.scores
+        else:
+            tb_of, ext_lo, ext_hi = {}, {}, {}
+            scores = np.zeros(0, np.int64)
+
+        # ---- pairing pass 1: cross products of per-mate candidates ----
+        conc: Dict[int, List[Tuple[int, int, int]]] = {}
+        for i in range(B):
+            l1 = ranked.get(i, [])
+            l2 = ranked.get(B + i, [])
+            combos = []
+            for k1 in l1:
+                for k2 in l2:
+                    if cs.rid[k1] != cs.rid[k2]:
+                        continue
+                    typ = pe_classify(
+                        pol.mate_fw_rc,
+                        ext_lo[k1], ext_hi[k1], cs.cand_or[k1] == 0,
+                        ext_lo[k2], ext_hi[k2], cs.cand_or[k2] == 0,
+                        pol.minins, pol.maxins)
+                    if typ != PE_DISCORD:
+                        combos.append((int(scores[k1] + scores[k2]), k1, k2))
+            if combos:
+                combos.sort(key=lambda c: -c[0])
+                conc[i] = combos
+
+        # ---- pass 2: mate rescue DP for pairs without a concordant combo ----
+        rescue_specs = []   # (pair, anchor_k, opp_read_idx, opp_or, win_lo)
+        for i in range(B):
+            if i in conc:
+                continue
+            for mate, ri in ((0, i), (1, B + i)):
+                lst = ranked.get(ri, [])
+                if not lst:
+                    continue
+                ak = lst[0]
+                wlo, whi, opp_fw = rescue_window(
+                    pol.mate_fw_rc, ext_lo[ak], ext_hi[ak],
+                    cs.cand_or[ak] == 0, mate == 0, pol.maxins)
+                opp_ri = (B + i) if mate == 0 else i
+                if cs.filtered[opp_ri] or cs.lens[opp_ri] == 0:
+                    continue
+                rescue_specs.append((i, ak, opp_ri, 0 if opp_fw else 1, wlo))
+
+        rpool = None
+        rtb = {}
+        if rescue_specs:
+            Lmax = cs.Lmax
+            Gr = max((pol.maxins + 32 - Lmax + 1) // 2,
+                     pol.band_halfwidth(Lmax))
+            r_read = np.array([s[2] for s in rescue_specs], np.int64)
+            r_or = np.array([s[3] for s in rescue_specs], np.int64)
+            r_wlo = np.array([s[4] for s in rescue_specs], np.int64)
+            r_rid = np.searchsorted(
+                self.data.ref_cum,
+                np.array([ext_lo[s[1]] for s in rescue_specs]),
+                side="right") - 1
+            rpool = self._run_dp(r_wlo, r_rid, r_read, r_or,
+                                 cs.fw, cs.qu, cs.rc, cs.qu_r, cs.lens,
+                                 Gr, Lmax, len(rescue_specs))
+            r_valid = rpool.scores >= cs.minsc[r_read]
+            rsel = np.nonzero(r_valid)[0].astype(np.int32)
+            rtb = self._backtrace_sel(rpool, rsel)
+            # classify each rescue result against its anchor
+            for t in rsel.tolist():
+                (i, ak, opp_ri, opp_or, _) = rescue_specs[t]
+                if i in conc:
+                    pass  # another rescue already made this pair concordant
+                rlo = int(rpool.win_start[t]) + rtb[t][1]["ref_start_win"]
+                rhi = int(rpool.end_pos(np.array([t]))[0])
+                if opp_ri >= B:  # opposite is mate 2 → anchor is mate 1
+                    typ = pe_classify(pol.mate_fw_rc,
+                                      ext_lo[ak], ext_hi[ak],
+                                      cs.cand_or[ak] == 0,
+                                      rlo, rhi, opp_or == 0,
+                                      pol.minins, pol.maxins)
+                else:
+                    typ = pe_classify(pol.mate_fw_rc,
+                                      rlo, rhi, opp_or == 0,
+                                      ext_lo[ak], ext_hi[ak],
+                                      cs.cand_or[ak] == 0,
+                                      pol.minins, pol.maxins)
+                if typ != PE_DISCORD:
+                    sc_sum = int(scores[ak] + rpool.scores[t])
+                    conc.setdefault(i, []).append(
+                        (sc_sum, ("r", ak, t, opp_ri, opp_or, rlo, rhi)))
+            for i in list(conc.keys()):
+                conc[i].sort(key=lambda c: -c[0])
+
+        # ---- emit ----
+        st = AlignStats()
+        out: List[SamAlignment] = []
+        for i in range(B):
+            rec1, rec2 = pairs[i]
+            st.pairs += 1
+            st.reads += 2
+            l1 = ranked.get(i, [])
+            l2 = ranked.get(B + i, [])
+            combos = conc.get(i)
+            if combos:
+                best = combos[0]
+                sec_sum = combos[1][0] if len(combos) > 1 else None
+                if isinstance(best[1], tuple):   # rescue pair
+                    _, ak, t, opp_ri, opp_or, rlo, rhi = best[1]
+                    if opp_ri >= B:
+                        k1, p1, t1 = ak, cs.pool, tb_of[ak]
+                        o1 = int(cs.cand_or[ak])
+                        lo1, hi1 = ext_lo[ak], ext_hi[ak]
+                        k2, p2, t2 = t, rpool, rtb[t]
+                        o2 = opp_or
+                        lo2, hi2 = rlo, rhi
+                    else:
+                        k1, p1, t1 = t, rpool, rtb[t]
+                        o1 = opp_or
+                        lo1, hi1 = rlo, rhi
+                        k2, p2, t2 = ak, cs.pool, tb_of[ak]
+                        o2 = int(cs.cand_or[ak])
+                        lo2, hi2 = ext_lo[ak], ext_hi[ak]
+                else:
+                    _, k1, k2 = best
+                    p1 = p2 = cs.pool
+                    t1, t2 = tb_of[k1], tb_of[k2]
+                    o1, o2 = int(cs.cand_or[k1]), int(cs.cand_or[k2])
+                    lo1, hi1 = ext_lo[k1], ext_hi[k1]
+                    lo2, hi2 = ext_lo[k2], ext_hi[k2]
+                ok = self._emit_pair(st, out, cs, i, rec1, rec2,
+                                     (k1, p1, t1, o1, lo1, hi1),
+                                     (k2, p2, t2, o2, lo2, hi2),
+                                     best[0], sec_sum, "CP", True)
+                if ok:
+                    if len(combos) > 1:
+                        st.conc_multi += 1
+                    else:
+                        st.conc_one += 1
+                    continue
+            # discordant: both mates aligned uniquely, same ref
+            if (not pol.no_discordant and len(l1) == 1 and len(l2) == 1
+                    and cs.rid[l1[0]] == cs.rid[l2[0]]):
+                k1, k2 = l1[0], l2[0]
+                ok = self._emit_pair(st, out, cs, i, rec1, rec2,
+                                     (k1, cs.pool, tb_of[k1],
+                                      int(cs.cand_or[k1]), ext_lo[k1], ext_hi[k1]),
+                                     (k2, cs.pool, tb_of[k2],
+                                      int(cs.cand_or[k2]), ext_lo[k2], ext_hi[k2]),
+                                     int(scores[k1] + scores[k2]), None,
+                                     "DP", False)
+                if ok:
+                    st.disc += 1
+                    continue
+            # mixed / unaligned
+            self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
+        self._merge_stats(st)
+        return out
+
+    # ------------------------------------------------------------------
+    def _emit_pair(self, st, out, cs, i, rec1, rec2, m1, m2, sc_sum,
+                   sec_sum, yt, proper) -> bool:
+        """Emit both mates of a concordant/discordant pair. Returns False if
+        a backtrace consistency check failed (caller falls through)."""
+        pol = self.pol
+        (k1, p1, t1, o1, lo1, hi1) = m1
+        (k2, p2, t2, o2, lo2, hi2) = m2
+        B = len(cs.lens) // 2
+        L1 = int(cs.lens[i])
+        L2 = int(cs.lens[B + i])
+        s1 = int(p1.scores[k1])
+        s2 = int(p2.scores[k2])
+        # paired MAPQ: summed scores vs summed minima (unique.h paired path)
+        minsum = int(cs.minsc[i] + cs.minsc[B + i])
+        persum = int(cs.perfect[i] + cs.perfect[B + i]) if pol.local else 0
+        mq = mapq_v2(sc_sum, sec_sum, persum, minsum, pol.local)
+
+        # TLEN sign: upstream mate positive; ties broken by strand (fw over
+        # rc) and by mate-1 for --ff (reference setFragmentLength,
+        # aligner_result.h:1311-1341). NOTE: the reference uses soft-clip-
+        # extended coords here; equal for end-to-end mode (local TODO).
+        frag = max(hi1, hi2) - min(lo1, lo2) + 1
+        fw1, fw2 = o1 == 0, o2 == 0
+        if lo1 == lo2:
+            m1_up = (fw1 and fw2) or (fw1 and not fw2)
+        else:
+            m1_up = lo1 < lo2
+        tlen1 = frag if m1_up else -frag
+        tlen2 = -tlen1
+
+        fl1 = FLAG_PAIRED | FLAG_MATE1 | (FLAG_PROPER if proper else 0) \
+            | (FLAG_MATE_REVERSE if o2 else 0)
+        fl2 = FLAG_PAIRED | FLAG_MATE2 | (FLAG_PROPER if proper else 0) \
+            | (FLAG_MATE_REVERSE if o1 else 0)
+        codes1, quals1 = self._oriented(cs, i, o1)
+        codes2, quals2 = self._oriented(cs, B + i, o2)
+        r1 = self._emit_aligned(rec1, L1, o1, codes1, quals1, p1, k1, t1,
+                                s1, None, mq, yt, fl1, "=",
+                                lo2 - int(self.data.ref_cum[int(p2.rid[k2])]) + 1,
+                                tlen1, ys=s2)
+        r2 = self._emit_aligned(rec2, L2, o2, codes2, quals2, p2, k2, t2,
+                                s2, None, mq, yt, fl2, "=",
+                                lo1 - int(self.data.ref_cum[int(p1.rid[k1])]) + 1,
+                                tlen2, ys=s1)
+        if r1 is None or r2 is None:
+            return False
+        out.append(r1)
+        out.append(r2)
+        return True
+
+    def _emit_mixed(self, st, out, cs, i, rec1, rec2, l1, l2, tb_of):
+        """No concordant/discordant pair: report mates individually
+        (--no-mixed disables the aligned records). Field conventions for
+        half-mapped pairs follow the reference (sam.cpp): the unmapped
+        record carries the mapped mate's RNAME/POS, RNEXT "=", TLEN 0; the
+        mapped record has RNEXT "=" and PNEXT = its own POS.
+        """
+        pol = self.pol
+        B = len(cs.lens) // 2
+        scores = cs.pool.scores
+        for mate, (rec, ri, lst, other_lst) in enumerate((
+                (rec1, i, l1, l2), (rec2, B + i, l2, l1))):
+            mate_flag = FLAG_MATE1 if mate == 0 else FLAG_MATE2
+            other_aligned = bool(other_lst) and not pol.no_mixed
+            fl = FLAG_PAIRED | mate_flag \
+                | (0 if other_aligned else FLAG_MATE_UNMAPPED)
+            if lst and not pol.no_mixed:
+                best_k = lst[0]
+                sec_k = lst[1] if len(lst) > 1 else None
+                best = int(scores[best_k])
+                sec = int(scores[sec_k]) if sec_k is not None else None
+                per = int(cs.perfect[ri]) if pol.local else 0
+                mq = mapq_v2(best, sec, per, int(cs.minsc[ri]), pol.local)
+                orient = int(cs.cand_or[best_k])
+                codes, quals = self._oriented(cs, ri, orient)
+                rnext, pnext = ("*", 0)
+                if not other_aligned:
+                    # own coords echoed (reference half-mapped convention)
+                    rnext = "="
+                r = self._emit_aligned(rec, int(cs.lens[ri]), orient, codes,
+                                       quals, cs.pool, best_k, tb_of[best_k],
+                                       best, sec, mq, "UP", fl,
+                                       rnext=rnext, pnext=pnext)
+                if r is not None:
+                    if rnext == "=":
+                        r.pnext = r.pos
+                    out.append(r)
+                    if sec is not None:
+                        st.mate_al_multi += 1
+                    else:
+                        st.mate_al_one += 1
+                    continue
+            yf = "NS" if cs.filtered[ri] else None
+            if other_aligned:
+                ok = other_lst[0]
+                o_rid = int(cs.pool.rid[ok])
+                o_pos = ext_pos = int(cs.pool.win_start[ok]) \
+                    + tb_of[ok][1]["ref_start_win"] \
+                    - int(self.data.ref_cum[o_rid]) + 1
+                fl |= FLAG_MATE_REVERSE if cs.cand_or[ok] else 0
+                out.append(self._unaligned(
+                    rec, yf, "UP", fl,
+                    rname=self.data.ref_names[o_rid], pos=o_pos,
+                    rnext="=", pnext=o_pos))
+            else:
+                out.append(self._unaligned(rec, yf, "UP", fl))
