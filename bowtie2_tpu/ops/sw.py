@@ -167,8 +167,12 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
         src = jnp.where(f_cur > h_noF, jnp.uint8(H_F), src_noF)
 
         if p.local:
-            clamp = h_cur < 0
-            h_cur = jnp.where(clamp, 0, h_cur)
+            # 0-score cells reached via the diagonal are local starts (the
+            # reference clips 0-net prefixes of matches/mismatches) but a 0
+            # reached through a gap state continues the traceback (0-net
+            # prefixes ending in a gap are kept; observed golden behavior)
+            clamp = (h_cur < 0) | ((h_cur == 0) & (src == H_DIAG))
+            h_cur = jnp.where(h_cur < 0, 0, h_cur)
             src = jnp.where(clamp, jnp.uint8(H_START), src)
 
         h_cur = jnp.maximum(h_cur, NEG_INF)   # floor: no int32 underflow drift
@@ -181,7 +185,9 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
         row_best_lane = jnp.argmax(h_cur, axis=1).astype(jnp.int32)
         row_best = jnp.max(h_cur, axis=1)
         if p.local:
-            take = active & (row_best > best)
+            # >= : on score ties the LATER row wins (the reference keeps
+            # 0-net tail extensions; observed golden behavior)
+            take = active & (row_best >= best)
         else:
             take = (i == read_lens - 1)
         best = jnp.where(take, row_best, best)
