@@ -38,7 +38,7 @@ def main():
 
     from bowtie2_tpu.pipeline.align import _bucket
 
-    def run(aligner, batch=2048):
+    def run(aligner, batch=8192):
         by_bucket = {}
         for i, rec in enumerate(records):
             by_bucket.setdefault(_bucket(max(rec.seq.size, 1)), []).append(i)

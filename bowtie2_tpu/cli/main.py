@@ -47,7 +47,7 @@ def cmd_align(argv):
                     const="very-sensitive")
     ap.add_argument("-L", dest="seed_len", type=int, default=None)
     ap.add_argument("-p", "--threads", type=int, default=1)  # accepted; batching supersedes
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("-f", dest="fasta_reads", action="store_true")
     ap.add_argument("--phred64", action="store_true")
     ap.add_argument("-k", dest="khits", type=int, default=1)
@@ -74,6 +74,8 @@ def cmd_align(argv):
 
     data = load_index(args.index)
     paired = args.mate1 is not None and args.mate2 is not None
+    if args.batch is None:
+        args.batch = 2048 if paired else 8192
     aligner = (PairedAligner if paired else UnpairedAligner)(data, pol)
     out = open(args.out, "w") if args.out else sys.stdout
     writer = SamWriter(out, data.ref_names, data.ref_lens,

@@ -218,6 +218,26 @@ def substring_search(half: FMHalf, seqs: jnp.ndarray, lengths: jnp.ndarray
 # ----------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("seed_len",))
+def seed_search_offsets(half: FMHalf, reads: jnp.ndarray, offs: jnp.ndarray,
+                        valid: jnp.ndarray, seed_len: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract seed windows on device, then batch-search them.
+
+    reads: (B, Lmax) int32; offs: (B, smax) int32 window starts;
+    valid: (B, smax) bool. Returns (top, bot) each (B*smax,). Windows
+    containing N die in the search itself (no host-side N filtering).
+    """
+    B, smax = offs.shape
+    Lmax = reads.shape[1]
+    idx = jnp.minimum(offs[:, :, None]
+                      + jnp.arange(seed_len, dtype=jnp.int32)[None, None, :],
+                      Lmax - 1).reshape(B, smax * seed_len)
+    seeds = jnp.take_along_axis(reads, idx, axis=1).reshape(-1, seed_len)
+    return seed_search_exact.__wrapped__(half, seeds, valid.reshape(-1),
+                                         seed_len)
+
+
+@partial(jax.jit, static_argnames=("seed_len",))
 def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
                       seed_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched exact seed search. seeds: (B, seed_len); valid: (B,) bool.

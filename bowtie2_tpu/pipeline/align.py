@@ -277,6 +277,7 @@ class BatchAligner:
             self._assemble_candidates(B, lens, filtered, sw_top, sw_bot,
                                       sw_ned, seed_off, seed_top,
                                       seed_bot, seed_mlen, seed_half)
+
         n_cand = cand_row.size
         if not n_cand:
             cs.n_cand = 0
@@ -543,31 +544,19 @@ class BatchAligner:
                         np.take_along_axis(offs, order, axis=1), 0)
 
         offs_rc = np.where(valid_off, lens[:, None] - offs - slen, 0)
-        idx = offs[:, :, None] + np.arange(slen, dtype=np.int32)[None, None, :]
-        idx = np.minimum(idx, Lmax - 1)
-        idx_rc = offs_rc[:, :, None] + np.arange(slen, dtype=np.int32)[None, None, :]
-        idx_rc = np.minimum(idx_rc, Lmax - 1)
-        rows = np.arange(B)[:, None, None]
-        seeds_fw = fw[rows, idx]
-        seeds_rc = rc[rows, idx_rc]
-        seeds = np.concatenate([seeds_fw, seeds_rc], axis=0)  # (2B, smax, slen)
-        valid = np.concatenate([valid_off, valid_off], axis=0) \
-            & ~(seeds >= 4).any(axis=2)
-
-        flat_seeds = seeds.reshape(-1, slen).astype(np.int32)
-        flat_valid = valid.reshape(-1)
-        NS = _pow2_at_least(flat_seeds.shape[0])
-        if NS > flat_seeds.shape[0]:
-            pad = NS - flat_seeds.shape[0]
-            flat_seeds = np.concatenate(
-                [flat_seeds, np.zeros((pad, slen), np.int32)], axis=0)
-            flat_valid = np.concatenate([flat_valid, np.zeros(pad, bool)])
-        top, bot = fm.seed_search_exact(self.idx.fw, jnp.asarray(flat_seeds),
-                                        jnp.asarray(flat_valid), slen)
+        # seed windows are extracted ON DEVICE (reads are device-resident
+        # anyway); windows containing N die inside the search kernel, so no
+        # host-side N filter is needed (it only affected multi-round gating,
+        # which is vacuous with one round)
+        offs_all = np.concatenate([offs, offs_rc], axis=0).astype(np.int32)
+        valid_all = np.concatenate([valid_off, valid_off], axis=0)
+        both = np.concatenate([fw, rc], axis=0).astype(np.int32)
+        top, bot = fm.seed_search_offsets(
+            self.idx.fw, jnp.asarray(both), jnp.asarray(offs_all),
+            jnp.asarray(valid_all), slen)
         orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
-        offs2 = np.concatenate([offs, offs_rc], axis=0)
-        mlen = np.full_like(offs2, slen)
-        return (orient.astype(np.int32), offs2, mlen,
+        mlen = np.full_like(offs_all, slen)
+        return (orient.astype(np.int32), offs_all, mlen,
                 jnp.stack([top, bot]), (2 * B * smax, 2 * B, smax))
 
     def _half_search(self, both, both_lens):
@@ -592,7 +581,98 @@ class BatchAligner:
         mlen = np.stack([mid, both_lens - mid], axis=1)
         return off, mlen, jnp.stack([top, bot])
 
-    def _assemble_candidates(self, B, lens, filtered, sw_top, sw_bot, sw_ned,
+    def _assemble_candidates(self, B, lens, filtered, sw_top, sw_bot,
+                             sw_ned, seed_off, seed_top, seed_bot, seed_mlen,
+                             seed_half):
+        """Vectorized canonical-order candidate assembly (same output as
+        _assemble_candidates_ref, which documents the semantics)."""
+        T = self.NC_PER_READ
+        M2 = seed_off.shape[1]
+        live_read = ~filtered & (lens > 0)
+
+        # ---- exact end-to-end hits (phase 1), fw then rc ----
+        ex_w = np.where((sw_ned == 0) & (sw_bot > sw_top),
+                        sw_bot - sw_top, 0)              # (2B,)
+        ex_w = np.minimum(ex_w, self.MAX_EXACT_ROWS)
+        ex_w[:B][~live_read] = 0
+        ex_w[B:][~live_read] = 0
+        t_fw = np.minimum(ex_w[:B], T)
+        t_rc = np.minimum(ex_w[B:], T - t_fw)
+        rem = T - t_fw - t_rc                            # (B,)
+
+        # ---- seed/half ranges: sort by width ascending per read ----
+        w = np.concatenate([seed_bot[:B] - seed_top[:B],
+                            seed_bot[B:] - seed_top[B:]], axis=1)  # (B, 2*M2)
+        w = np.maximum(w, 0)
+        w[~live_read] = 0
+        tops = np.concatenate([seed_top[:B], seed_top[B:]], axis=1)
+        offs = np.concatenate([seed_off[:B], seed_off[B:]], axis=1)
+        mlens = np.concatenate([seed_mlen[:B], seed_mlen[B:]], axis=1)
+        halfs = np.concatenate([seed_half[:B], seed_half[B:]], axis=1)
+        oris = np.concatenate([np.zeros((B, M2), np.int64),
+                               np.ones((B, M2), np.int64)], axis=1)
+        dead = w == 0
+        order = np.argsort(np.where(dead, 1 << 30, w), axis=1, kind="stable")
+        w = np.take_along_axis(w, order, axis=1)
+        tops = np.take_along_axis(tops, order, axis=1)
+        offs = np.take_along_axis(offs, order, axis=1)
+        mlens = np.take_along_axis(mlens, order, axis=1)
+        halfs = np.take_along_axis(halfs, order, axis=1)
+        oris = np.take_along_axis(oris, order, axis=1)
+
+        # depth-major round-robin allocation: find the deepest full round D
+        # with sum_j min(w_j, D) <= rem, then hand the leftover to the
+        # narrowest still-live ranges in order
+        ds = np.arange(T + 1, dtype=np.int64)            # budget <= T
+        f = np.minimum(w[:, :, None], ds[None, None, :]).sum(axis=1)  # (B,T+1)
+        Dstar = np.maximum((f <= rem[:, None]).sum(axis=1) - 1, 0)
+        used = np.take_along_axis(f, Dstar[:, None], axis=1)[:, 0]
+        extra_budget = rem - used
+        alive = w > Dstar[:, None]
+        extra = alive & (np.cumsum(alive, axis=1) <= extra_budget[:, None])
+        n = np.minimum(w, Dstar[:, None]) + extra        # (B, 2*M2)
+
+        # ---- emit: exacts (fw then rc), then (depth, range) order ----
+        parts = []
+        for oi, t_or in ((0, t_fw), (1, t_rc)):
+            tot = int(t_or.sum())
+            if tot:
+                r_ids = np.repeat(np.arange(B), t_or)
+                d = np.arange(tot) - np.repeat(np.cumsum(t_or) - t_or, t_or)
+                parts.append((r_ids, np.full(tot, oi, np.int64),
+                              np.zeros(tot, np.int64),
+                              (sw_top[oi * B:oi * B + B][r_ids] + d).astype(np.int32),
+                              np.ones(tot, bool),
+                              lens[r_ids].astype(np.int64),
+                              np.zeros(tot, bool),
+                              np.full(tot, -2 + oi, np.int64),  # phase key
+                              d))
+        nf = n.reshape(-1)
+        tot = int(nf.sum())
+        if tot:
+            flat_read = np.repeat(np.arange(B * 2 * M2) // (2 * M2), nf)
+            flat_j = np.repeat(np.arange(B * 2 * M2) % (2 * M2), nf)
+            d = np.arange(tot) - np.repeat(np.cumsum(nf) - nf, nf)
+            parts.append((flat_read,
+                          oris[flat_read, flat_j],
+                          offs[flat_read, flat_j].astype(np.int64),
+                          (tops[flat_read, flat_j] + d).astype(np.int32),
+                          np.zeros(tot, bool),
+                          mlens[flat_read, flat_j].astype(np.int64),
+                          halfs[flat_read, flat_j],
+                          d,                              # phase key: depth
+                          flat_j))
+        if not parts:
+            z = np.zeros(0, np.int64)
+            return (z, z.copy(), z.copy(), np.zeros(0, np.int32),
+                    np.zeros(0, bool), z.copy(), np.zeros(0, bool))
+        cat = [np.concatenate([p[i] for p in parts]) for i in range(9)]
+        key_order = np.lexsort((cat[8], cat[7], cat[0]))
+        return (cat[0][key_order], cat[1][key_order].astype(np.int64),
+                cat[2][key_order], cat[3][key_order],
+                cat[4][key_order], cat[5][key_order], cat[6][key_order])
+
+    def _assemble_candidates_ref(self, B, lens, filtered, sw_top, sw_bot, sw_ned,
                              seed_off, seed_top, seed_bot, seed_mlen,
                              seed_half):
         """Canonical-order candidate list under a per-read budget.

@@ -140,3 +140,28 @@ def test_local_mode_soft_clip():
     assert rec.flag & 4 == 0
     assert rec.cigar.startswith("10S") or rec.cigar.endswith("S")
     assert rec.pos == p + 1
+
+
+def test_assemble_candidates_vectorized_matches_loop(genome_and_aligner):
+    """The vectorized candidate assembly must replicate the reference loop
+    implementation exactly (same candidates, same canonical order)."""
+    genome, al = genome_and_aligner
+    rng = np.random.default_rng(33)
+    B, smax = 40, 6
+    lens = rng.integers(30, 80, B).astype(np.int32)
+    filtered = rng.random(B) < 0.1
+    sw_top = rng.integers(0, 1000, 2 * B).astype(np.int32)
+    sw_bot = sw_top + rng.integers(0, 8, 2 * B).astype(np.int32)
+    sw_ned = rng.integers(0, 2, 2 * B).astype(np.int32)
+    seed_top = rng.integers(0, 1000, (2 * B, smax)).astype(np.int32)
+    widths = rng.integers(0, 6, (2 * B, smax)).astype(np.int32)
+    seed_bot = seed_top + widths
+    seed_off = rng.integers(0, 40, (2 * B, smax)).astype(np.int64)
+    seed_mlen = rng.integers(20, 40, (2 * B, smax)).astype(np.int64)
+    seed_half = rng.random((2 * B, smax)) < 0.3
+    args = (B, lens, filtered, sw_top, sw_bot, sw_ned, seed_off, seed_top,
+            seed_bot, seed_mlen, seed_half)
+    ref = al._assemble_candidates_ref(*args)
+    vec = al._assemble_candidates(*args)
+    for a, b in zip(ref, vec):
+        np.testing.assert_array_equal(a, b)
