@@ -2,30 +2,32 @@
 
 Replaces the reference's four SSE striped-Smith-Waterman kernels
 (aligner_swsse_ee_u8/i16.cpp, aligner_swsse_loc_u8/i16.cpp, Farrar striping)
-with a *diagonal-banded* formulation natural to the VPU:
+with a row-scan rectangle formulation natural to the VPU:
 
-  * One DP problem = read (rows) × a band of diagonals (lanes) centered on
-    the seed-hit diagonal. Lane j represents diagonal offset d = j - G where
-    G is the band half-width (G >= maxgaps from the score budget,
-    reference Scoring::maxReadGaps/maxRefGaps scoring.cpp:42-104).
-  * The row recurrence is: diagonal move = same lane (previous row), ref-gap
-    (E) = lane+1 (previous row), read-gap (F) = lanes < j (same row) —
-    resolved exactly with a max-plus prefix scan (Kogge-Stone, log2(W)
-    shift/max steps). This is the "lazy-F" identity the SSE kernels exploit
+  * One DP problem = read (rows) × the reference columns of the framed DP
+    rectangle [anchor - 2*maxgap, anchor + rdlen-1 + 2*maxgap] — exactly
+    the reference's seed-extension rect (DynProgFramer, dp_framer.cpp:81:
+    maxgap = min(max(maxrdgap, maxrfgap), --dpad)). Paths may wander
+    anywhere inside the rect, so e.g. long insertions (bounded only by the
+    score budget) are found just as the reference finds them.
+  * The row recurrence is: diagonal move = column-1 (previous row), ref-gap
+    E (insertion: read char consumed) = same column (previous row), read-gap
+    F (deletion: ref char consumed) = columns < c (same row) — resolved
+    exactly with a max-plus prefix scan (Kogge-Stone, log2(W) shift/max
+    steps). This is the "lazy-F" identity the SSE kernels exploit
     (aligner_swsse_ee_u8.cpp lazy-F loop), done as a scan instead of a loop.
   * The whole batch advances one row per scan step: carries are (B, W)
-    registers, per-row inputs arrive as scan xs (reads/quals transposed) or
-    one uniform dynamic_slice of the ref windows — there is NO per-problem
-    gather anywhere in the hot loop (vmapped dynamic_slice measured ~30x
-    slower than this formulation on v5e).
+    registers, per-row inputs arrive as scan xs (reads/quals transposed);
+    the reference window is a constant (B, W) operand — there is NO
+    per-problem gather anywhere in the hot loop (vmapped dynamic_slice
+    measured ~30x slower than such formulations on v5e).
   * Scoring matches scoring.h defaults exactly in int32 (match 0 / mismatch
     -(2..6 by qual, MMP Q,6,2) / N -1 / gaps -(5+3k)) so scores are
     bit-identical to the reference's.
 
 End-to-end mode: whole read must align (rows are mandatory); start/end
-column free within the band (the framer's st_/en_ windows, dp_framer.h:59).
-Local mode: scores clamp at 0, match bonus +2, best cell anywhere wins
-(soft clipping recovered in backtrace).
+column free within the rect (dp_framer.h:59). Local mode: scores clamp at
+0, match bonus +2, best cell anywhere wins (soft clipping in backtrace).
 
 Traceback: per-cell direction bits are kept in device memory ((Lmax, B, W)
 uint8 — on-TPU HBM is cheap enough at short-read scale to skip the
@@ -99,17 +101,19 @@ def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("params", "band"))
 def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
               refwins: jnp.ndarray, params: SWParams, band: int) -> SWResult:
-    """Batched banded DP.
+    """Batched rectangle DP.
 
     reads: (B, Lmax) int32 codes 0..4 (4=N); quals: (B, Lmax) int32;
-    read_lens: (B,) int32; refwins: (B, Lmax + 2*band) int32 codes 0..5
-    (4=N, 5=out-of-reference). refwins[b, G + i + d] is the ref char at
-    read row i, diagonal d; lane j holds d = j - G, W = 2G+1 lanes.
+    read_lens: (B,) int32; refwins: (B, Lmax + 2*band + 1) int32 codes 0..5
+    (4=N, 5=out-of-reference); band = 2*maxgap (the rect pad each side,
+    dp_framer.cpp:97-100). refwins[b, c] is the ref char at rect column c;
+    column G + i is read row i's no-gap column. Columns beyond the
+    per-read rect (c > read_len-1+2*band) are masked dead.
     """
     p = params
     G = band
     B, Lmax = reads.shape
-    W = 2 * G + 1
+    W = Lmax + 2 * G + 1
     mmpen_t = mm_penalty_from_qual(quals, p).T          # (Lmax, B)
     reads_t = reads.T                                   # (Lmax, B)
     lane_e = jnp.arange(W, dtype=jnp.int32) * p.read_gap_extend
@@ -117,11 +121,16 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
     rgo = p.read_gap_open + p.read_gap_extend   # first read-gap char
     fgo = p.ref_gap_open + p.ref_gap_extend     # first ref-gap char
 
+    # per-problem rect column mask (reads shorter than the bucket Lmax)
+    col_ok = (jnp.arange(W, dtype=jnp.int32)[None, :]
+              <= read_lens[:, None] - 1 + 2 * G)
+    refwins = jnp.where(col_ok, refwins, 5)
+
     def row_fn(carry, xs):
         h_prev, e_prev, best, best_row, best_lane, i = carry
         rc, qp = xs                                     # (B,), (B,)
         active = i < read_lens
-        refc = jax.lax.dynamic_slice(refwins, (0, i), (B, W))
+        refc = refwins
 
         is_n = (rc[:, None] >= 4) | (refc == 4)
         oob = refc >= 5
@@ -130,13 +139,12 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
               jnp.where(is_n & ~oob, -p.n_pen, -qp[:, None]))
         sub = jnp.where(oob, NEG_INF // 2, sub)
 
-        # E (ref gap, vertical): from previous row, lane j+1
+        # E (ref gap / insertion, vertical): same column, previous row
         pad = jnp.full((B, 1), NEG_INF)
-        h_up = jnp.concatenate([h_prev[:, 1:], pad], axis=1)
-        e_up = jnp.concatenate([e_prev[:, 1:], pad], axis=1)
-        e_open = h_up - fgo
-        e_ext = e_up - p.ref_gap_extend
+        e_open = h_prev - fgo
+        e_ext = e_prev - p.ref_gap_extend
         e_cur = jnp.maximum(e_open, e_ext)
+        e_cur = jnp.where(oob, NEG_INF, e_cur)
         e_from_ext = e_ext > e_open
 
         # gap barrier: gap-state cells are dead at rows within gbar of
@@ -147,8 +155,8 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
                    (i >= read_lens - p.gap_barrier))[:, None]
             e_cur = jnp.where(bar, NEG_INF, e_cur)
 
-        # H without F
-        h_diag = h_prev + sub
+        # H without F: diagonal move = previous row, column-1
+        h_diag = jnp.concatenate([pad, h_prev[:, :-1]], axis=1) + sub
         h_noF = jnp.maximum(h_diag, e_cur)
         src_noF = jnp.where(e_cur > h_diag, H_E, H_DIAG).astype(jnp.uint8)
 
@@ -245,7 +253,7 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
     G = band
     Lmax, B, W = dirs.shape
     Bc = sel.shape[0]
-    S = Lmax + 2 * G + 2
+    S = Lmax + W + 2
     # per-candidate flattened (Bc, Lmax*W) layout: the per-step lookup is then
     # a take_along_axis, which XLA compiles ~200x faster than a flat 1-D
     # gather over the full dirs buffer (measured: 0.6s vs 135s)
@@ -262,7 +270,7 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
                                  axis=1)[:, 0]
         qp = jnp.take_along_axis(mmpen, jnp.clip(i, 0, Lmax - 1)[:, None],
                                  axis=1)[:, 0]
-        widx = jnp.clip(i + j, 0, refwins.shape[1] - 1)
+        widx = jnp.clip(j, 0, refwins.shape[1] - 1)
         fc = jnp.take_along_axis(refwins, widx[:, None], axis=1)[:, 0]
 
         at_start = (mode == 0) & (src == H_START)
@@ -297,7 +305,7 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
         nrefn = nrefn + (emit_m & (fc == 4)).astype(jnp.int32)
         ngo = ngo + i_open.astype(jnp.int32) + d_open.astype(jnp.int32)
         ngc = ngc + emit_i.astype(jnp.int32) + emit_d.astype(jnp.int32)
-        refmin = jnp.where(emit_m | emit_d, jnp.minimum(refmin, i + j), refmin)
+        refmin = jnp.where(emit_m | emit_d, jnp.minimum(refmin, j), refmin)
 
         op = jnp.where(emit_m, OP_M,
              jnp.where(emit_i, OP_I,
@@ -305,8 +313,9 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
         packed = (op | (jnp.clip(fc, 0, 5) << 2)
                   | (ismatch.astype(jnp.int32) << 5)).astype(jnp.uint8)
 
+        # column-space moves: M → (i-1, j-1); I → (i-1, j); D → (i, j-1)
         i2 = jnp.where(emit_m | emit_i, i - 1, i)
-        j2 = jnp.where(emit_i, j + 1, jnp.where(emit_d, j - 1, j))
+        j2 = jnp.where(emit_m | emit_d, j - 1, j)
         mode2 = jnp.where(emit_i & e_ext, 1,
                 jnp.where(emit_d & f_ext, 2, 0))
         i = jnp.where(done_now, i, i2)

@@ -52,7 +52,8 @@ from bowtie2_tpu.pipeline.mapq import mapq_v2
 from bowtie2_tpu.pipeline.pe import PE_DISCORD, pe_classify, rescue_window
 from bowtie2_tpu.pipeline.policy import Policy
 
-LEN_BUCKETS = (64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+LEN_BUCKETS = (64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
+               3072, 4096, 6144, 8192)
 
 BT_FIELDS = ("read_start", "ref_start_win", "n_mm", "n_go",
              "n_gc", "n_refn", "score_check")
@@ -173,9 +174,11 @@ class DPPool:
     wins: object                 # device (NC, Lmax + 2G)
 
     def end_pos(self, k) -> np.ndarray:
-        """Global position of the last ref char consumed (exact)."""
-        return (self.win_start[k] + self.rows_end[k]
-                + self.lanes_end[k]).astype(np.int64)
+        """Global position of the last ref char consumed (exact).
+
+        lanes_end is the best cell's rect COLUMN (ops/sw.py column-space
+        rect DP), so the window start plus the column is the position."""
+        return (self.win_start[k] + self.lanes_end[k]).astype(np.int64)
 
 
 @dataclass
@@ -340,7 +343,7 @@ class BatchAligner:
                 lens, G: int, Lmax: int, n: int) -> DPPool:
         """Gather windows + run banded DP for n problems (padded to pow2)."""
         pol = self.pol
-        width = Lmax + 2 * G
+        width = Lmax + 2 * G + 1
         NC = _pow2_at_least(max(n, 1))
         starts = np.zeros(NC, dtype=np.int32)
         lo = np.zeros(NC, dtype=np.int32)

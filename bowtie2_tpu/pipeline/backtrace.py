@@ -6,8 +6,8 @@ the matrix to save cache. We keep the full per-cell direction bits (cheap at
 short-read scale) and walk them directly. Runs on host over the small set of
 surviving candidates; a device backtrace kernel is a later optimization.
 
-Band geometry matches ops/sw.py: cell (row i, lane j) refers to ref window
-index i + j; lane j is diagonal d = j - G.
+Geometry matches ops/sw.py column-space rect DP: cell (row i, col j)
+refers to ref window index j directly.
 """
 
 from dataclasses import dataclass, field
@@ -95,7 +95,7 @@ def backtrace_one(dirs: np.ndarray, row: int, lane: int, read: np.ndarray,
                   quals: np.ndarray, refwin: np.ndarray, params: SWParams) -> Traceback:
     """Walk one problem's direction matrix from its best cell.
 
-    dirs: (Lmax, W) uint8; read/quals: (Lmax,); refwin: (Lmax+2G,) codes 0..5.
+    dirs: (Lmax, W) uint8; read/quals: (Lmax,); refwin: (W,) codes 0..5.
     """
     i, j = int(row), int(lane)
     read_end = i + 1
@@ -111,9 +111,9 @@ def backtrace_one(dirs: np.ndarray, row: int, lane: int, read: np.ndarray,
             if src == H_START:
                 break
             if src == H_DIAG:
-                rc, fc = int(read[i]), int(refwin[i + j])
+                rc, fc = int(read[i]), int(refwin[j])
                 ops_rev.append("M")
-                ref_idx_rev.append(i + j)
+                ref_idx_rev.append(j)
                 if rc >= 4 or fc == 4:
                     score -= params.n_pen
                     n_mm += 1
@@ -127,6 +127,7 @@ def backtrace_one(dirs: np.ndarray, row: int, lane: int, read: np.ndarray,
                     score -= _mm_pen(int(quals[i]), params)
                     n_mm += 1
                 i -= 1
+                j -= 1
             elif src == H_E:
                 state = "E"
             else:
@@ -142,11 +143,10 @@ def backtrace_one(dirs: np.ndarray, row: int, lane: int, read: np.ndarray,
                 score -= params.ref_gap_open
                 n_go += 1
             i -= 1
-            j += 1
             state = "E" if ext else "H"
         else:  # state == "F": ref char consumed, no read char (gap in read)
             ops_rev.append("D")
-            ref_idx_rev.append(i + j)
+            ref_idx_rev.append(j)
             ext = bool(d & 8)
             score -= params.read_gap_extend
             n_gc += 1
