@@ -1,0 +1,185 @@
+/* SA-IS suffix array construction (Nong, Zhang & Chan, 2009).
+ *
+ * Native build-time component of bowtie2_tpu: linear-time suffix sorting
+ * for genome-scale index construction, filling the role of the reference's
+ * Karkkainen blockwise sorter / libsais path (blockwise_sa.h:255,
+ * third_party/libsais). All indexes are int64 so multi-gigabase genomes
+ * work.
+ *
+ * Convention: T[n-1] must be a unique smallest sentinel (the Python
+ * wrapper shifts codes up by one and appends 0). SA covers all n suffixes
+ * including the sentinel suffix (SA[0] == n-1 on return).
+ *
+ * Exposed entry points (ctypes):
+ *   int sais_u8   (const uint8_t* T, int64_t* SA, int64_t n, int64_t K)
+ *   int sais_int64(const int64_t* T, int64_t* SA, int64_t n, int64_t K)
+ * Return 0 on success, negative on bad input / allocation failure.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef int64_t i64;
+
+#define L_TYPE 0
+#define S_TYPE 1
+
+struct view {
+    const void *T;
+    int wide;        /* 0: uint8_t, 1: i64 */
+};
+
+static inline i64 chr_at(const struct view *v, i64 i) {
+    return v->wide ? ((const i64 *)v->T)[i] : ((const uint8_t *)v->T)[i];
+}
+
+static void bucket_bounds(const struct view *v, i64 n, i64 K, i64 *B,
+                          int ends) {
+    i64 i;
+    i64 *cnt = (i64 *)calloc((size_t)K, sizeof(i64));
+    for (i = 0; i < n; i++) cnt[chr_at(v, i)]++;
+    i64 sum = 0;
+    for (i = 0; i < K; i++) {
+        sum += cnt[i];
+        B[i] = ends ? sum : sum - cnt[i];
+    }
+    free(cnt);
+}
+
+static int is_lms(const unsigned char *ty, i64 i) {
+    return i > 0 && ty[i] == S_TYPE && ty[i - 1] == L_TYPE;
+}
+
+/* induced sort: SA pre-seeded with LMS positions at bucket ends, -1 holes */
+static void induce(const struct view *v, unsigned char *ty, i64 *SA,
+                   i64 n, i64 K, i64 *B) {
+    i64 i, j;
+    /* L pass (left to right, bucket heads) */
+    bucket_bounds(v, n, K, B, 0);
+    for (i = 0; i < n; i++) {
+        j = SA[i];
+        if (j > 0 && ty[j - 1] == L_TYPE)
+            SA[B[chr_at(v, j - 1)]++] = j - 1;
+    }
+    /* S pass (right to left, bucket ends) */
+    bucket_bounds(v, n, K, B, 1);
+    for (i = n - 1; i >= 0; i--) {
+        j = SA[i];
+        if (j > 0 && ty[j - 1] == S_TYPE)
+            SA[--B[chr_at(v, j - 1)]] = j - 1;
+    }
+}
+
+static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
+    i64 i, j;
+    if (n == 0) return 0;
+    if (n == 1) { SA[0] = 0; return 0; }
+
+    unsigned char *ty = (unsigned char *)malloc((size_t)n);
+    i64 *B = (i64 *)malloc((size_t)K * sizeof(i64));
+    if (!ty || !B) { free(ty); free(B); return -2; }
+
+    ty[n - 1] = S_TYPE;  /* the sentinel */
+    for (i = n - 2; i >= 0; i--) {
+        i64 c0 = chr_at(v, i), c1 = chr_at(v, i + 1);
+        ty[i] = (c0 < c1 || (c0 == c1 && ty[i + 1] == S_TYPE))
+                    ? S_TYPE : L_TYPE;
+    }
+
+    /* ---- step 1: sort LMS substrings by one induction round ---- */
+    for (i = 0; i < n; i++) SA[i] = -1;
+    bucket_bounds(v, n, K, B, 1);
+    i64 m = 0;
+    for (i = n - 1; i > 0; i--) {
+        if (is_lms(ty, i)) { SA[--B[chr_at(v, i)]] = i; m++; }
+    }
+    SA[0] = n - 1;   /* sentinel suffix leads; also an honorary LMS anchor */
+    induce(v, ty, SA, n, K, B);
+
+    /* ---- step 2: name LMS substrings in sorted order ---- */
+    /* collect sorted LMS positions into the front of SA */
+    i64 *sorted = SA;
+    j = 0;
+    for (i = 0; i < n; i++) {
+        i64 p = SA[i];
+        if (p == n - 1 || is_lms(ty, p)) sorted[j++] = p;
+    }
+    i64 nlms = j;           /* == m + 1 (sentinel) */
+    i64 *name_of = (i64 *)malloc((size_t)n * sizeof(i64));
+    if (!name_of) { free(ty); free(B); return -2; }
+    i64 name = 0, prev = -1;
+    for (i = 0; i < nlms; i++) {
+        i64 p = sorted[i];
+        int diff = 0;
+        if (prev < 0) {
+            diff = 1;
+        } else {
+            for (j = 0;; j++) {
+                i64 a = p + j, b = prev + j;
+                if (a >= n || b >= n) { diff = 1; break; }
+                if (chr_at(v, a) != chr_at(v, b) || ty[a] != ty[b]) {
+                    diff = 1;
+                    break;
+                }
+                if (j > 0 && (is_lms(ty, a) || is_lms(ty, b))) {
+                    diff = !(is_lms(ty, a) && is_lms(ty, b));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = p; }
+        name_of[p] = name - 1;
+    }
+
+    /* reduced string: names of LMS positions in text order */
+    i64 *red = (i64 *)malloc((size_t)nlms * sizeof(i64));
+    i64 *lms_pos = (i64 *)malloc((size_t)nlms * sizeof(i64));
+    i64 *red_sa = (i64 *)malloc((size_t)nlms * sizeof(i64));
+    if (!red || !lms_pos || !red_sa) {
+        free(ty); free(B); free(name_of); free(red); free(lms_pos);
+        free(red_sa);
+        return -2;
+    }
+    j = 0;
+    for (i = 0; i < n; i++) {
+        if (i == n - 1 || is_lms(ty, i)) { lms_pos[j] = i; red[j++] = name_of[i]; }
+    }
+    free(name_of);
+
+    if (name < nlms) {
+        struct view rv = { red, 1 };
+        int rc = sais_rec(&rv, red_sa, nlms, name);
+        if (rc != 0) {
+            free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+            return rc;
+        }
+    } else {
+        for (i = 0; i < nlms; i++) red_sa[red[i]] = i;
+    }
+
+    /* ---- step 3: place sorted LMS, induce final SA ---- */
+    for (i = 0; i < n; i++) SA[i] = -1;
+    bucket_bounds(v, n, K, B, 1);
+    for (i = nlms - 1; i >= 1; i--) {      /* skip red_sa[0] == sentinel */
+        i64 p = lms_pos[red_sa[i]];
+        SA[--B[chr_at(v, p)]] = p;
+    }
+    SA[0] = n - 1;
+    induce(v, ty, SA, n, K, B);
+
+    free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+    return 0;
+}
+
+int sais_u8(const uint8_t *T, i64 *SA, i64 n, i64 K) {
+    if (n < 0 || K <= 0 || K > 256) return -1;
+    struct view v = { T, 0 };
+    return sais_rec(&v, SA, n, K);
+}
+
+int sais_int64(const i64 *T, i64 *SA, i64 n, i64 K) {
+    if (n < 0 || K <= 0) return -1;
+    struct view v = { T, 1 };
+    return sais_rec(&v, SA, n, K);
+}
