@@ -25,4 +25,22 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
                        _os.path.expanduser("~/.cache/bowtie2_tpu/jax"))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+def _warm_device_link() -> None:
+    """Round-trip one tiny buffer through the device at import time.
+
+    On the tunneled TPU backend, the FIRST device→host transfer of a
+    process stalls ~190s if it happens after compilation activity; an
+    immediate tiny round-trip avoids the stall entirely (measured).
+    """
+    try:
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        _np.asarray(_jnp.zeros(8, _jnp.int32))
+    except Exception:
+        pass  # no device — CPU tests and doc builds don't care
+
+
+_warm_device_link()
+
 from bowtie2_tpu.index.fmindex import FMIndex  # noqa: F401

@@ -125,19 +125,15 @@ def cmd_align(argv):
             idxs = by_bucket[bkt]
             for k in range(0, len(idxs), args.batch):
                 chunks.append(idxs[k:k + args.batch])
-        # two worker threads: one batch's host-side phases overlap the
-        # other's device execution (device work serializes on-chip; the
-        # transfer waits release the GIL)
-        from concurrent.futures import ThreadPoolExecutor
-        def run_chunk(chunk):
+        # sequential batches: measured faster than thread-overlap (two
+        # threads contend on JAX dispatch); JAX's async dispatch already
+        # overlaps device compute with the host phases
+        for chunk in chunks:
             outs = aligner.align_batch([window[j] for j in chunk])
             if paired:   # two records per pair, regroup
                 outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
-            return chunk, outs
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            for chunk, outs in ex.map(run_chunk, chunks):
-                for j, rec_out in zip(chunk, outs):
-                    results[j] = rec_out
+            for j, rec_out in zip(chunk, outs):
+                results[j] = rec_out
         for rec_out in results:
             if paired:
                 for r in rec_out:

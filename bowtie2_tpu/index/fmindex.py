@@ -22,8 +22,10 @@ from bowtie2_tpu.index.build import HalfIndex, IndexData
 class FMHalf(NamedTuple):
     n: jnp.ndarray           # int32 scalar, joined text length
     z_off: jnp.ndarray       # int32 scalar
-    bwt_blocks: jnp.ndarray  # uint32[nblocks, 8] — one row per 128-base block
-    occ_cp: jnp.ndarray      # int32[nblocks, 4]
+    lf_blocks: jnp.ndarray   # int32[nblocks, 12]: occ checkpoint counts
+                             # [:, :4] + the block's 8 packed-BWT words
+                             # [:, 4:] (uint32 bit patterns) — one row gather
+                             # serves a whole LF step
     fchr: jnp.ndarray        # int32[5]
     ftab: jnp.ndarray        # int32[2*4^K+1]
     mark_blocks: jnp.ndarray  # uint32[nblocks, 4] (zeros if absent)
@@ -50,10 +52,12 @@ class FMIndex(NamedTuple):
             markcp = h.mark_cp if h.mark_cp is not None else \
                 np.zeros(nblocks, dtype=np.int32)
             offs = h.offs if h.offs is not None else np.zeros(1, dtype=np.int32)
+            lf = np.concatenate(
+                [h.occ_cp.astype(np.int32),
+                 h.bwt_words.reshape(nblocks, -1).view(np.int32)], axis=1)
             return FMHalf(
                 n=jnp.int32(h.n), z_off=jnp.int32(h.z_off),
-                bwt_blocks=jnp.asarray(h.bwt_words.reshape(nblocks, -1)),
-                occ_cp=jnp.asarray(h.occ_cp),
+                lf_blocks=jnp.asarray(lf),
                 fchr=jnp.asarray(h.fchr),
                 ftab=jnp.asarray(h.ftab),
                 mark_blocks=jnp.asarray(mark.reshape(nblocks, -1)),

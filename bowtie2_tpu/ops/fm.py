@@ -43,9 +43,11 @@ _CHARS4 = jnp.arange(4, dtype=jnp.int32)
 
 
 def _crumbs(block_rows: jnp.ndarray) -> jnp.ndarray:
-    """(B, 8) uint32 words → (B, 128) int32 2-bit crumbs."""
+    """(B, 8) uint32-pattern words → (B, 128) int32 2-bit crumbs."""
     B = block_rows.shape[0]
-    c = (block_rows[:, :, None] >> _CRUMB_SHIFTS[None, None, :]) & jnp.uint32(3)
+    w = block_rows.astype(jnp.uint32) if block_rows.dtype != jnp.uint32 \
+        else block_rows
+    c = (w[:, :, None] >> _CRUMB_SHIFTS[None, None, :]) & jnp.uint32(3)
     return c.reshape(B, OCC_BLOCK).astype(jnp.int32)
 
 
@@ -56,14 +58,18 @@ def _fchr_at(half: FMHalf, c: jnp.ndarray) -> jnp.ndarray:
 
 
 def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """#occurrences of per-state char c in bwt[0:i). i, c: (B,) int32."""
+    """#occurrences of per-state char c in bwt[0:i). i, c: (B,) int32.
+
+    One fused row gather per state: occ checkpoints + BWT words share a row
+    (fmindex.FMHalf.lf_blocks), halving HBM transactions per LF step."""
     block = i // OCC_BLOCK
-    crumbs = _crumbs(jnp.take(half.bwt_blocks, block, axis=0))
+    rows = jnp.take(half.lf_blocks, block, axis=0)            # (B, 12)
+    crumbs = _crumbs(rows[:, 4:])
     inb = jnp.sum(((crumbs == c[:, None]) &
                    (_LANE[None, :] < (i - block * OCC_BLOCK)[:, None])
                    ).astype(jnp.int32), axis=1)
-    cp_rows = jnp.take(half.occ_cp, block, axis=0)            # (B, 4)
-    cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cp_rows, 0), axis=1)
+    cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], rows[:, :4], 0),
+                 axis=1)
     corr = ((c == 0) & (i > half.z_off)).astype(jnp.int32)
     return cp + inb - corr
 
@@ -71,12 +77,13 @@ def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     """(B, 4) occurrence counts of every char in bwt[0:i). i: (B,)."""
     block = i // OCC_BLOCK
-    crumbs = _crumbs(jnp.take(half.bwt_blocks, block, axis=0))
+    rows = jnp.take(half.lf_blocks, block, axis=0)
+    crumbs = _crumbs(rows[:, 4:])
     mask = _LANE[None, :] < (i - block * OCC_BLOCK)[:, None]
     onehot = (crumbs[:, :, None] == _CHARS4[None, None, :])
     cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1)
     corr = jnp.where((_CHARS4[None, :] == 0) & (i > half.z_off)[:, None], 1, 0)
-    return jnp.take(half.occ_cp, block, axis=0) + cnt - corr
+    return rows[:, :4] + cnt - corr
 
 
 def lf_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -217,9 +224,10 @@ def substring_search(half: FMHalf, seqs: jnp.ndarray, lengths: jnp.ndarray
 # aligner_seed.cpp:1859; the exact case needs no bidirectional machinery).
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("seed_len",))
+@partial(jax.jit, static_argnames=("seed_len", "ftab_chars"))
 def seed_search_offsets(half: FMHalf, reads: jnp.ndarray, offs: jnp.ndarray,
-                        valid: jnp.ndarray, seed_len: int
+                        valid: jnp.ndarray, seed_len: int,
+                        ftab_chars: int = 0
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extract seed windows on device, then batch-search them.
 
@@ -234,15 +242,19 @@ def seed_search_offsets(half: FMHalf, reads: jnp.ndarray, offs: jnp.ndarray,
                       Lmax - 1).reshape(B, smax * seed_len)
     seeds = jnp.take_along_axis(reads, idx, axis=1).reshape(-1, seed_len)
     return seed_search_exact.__wrapped__(half, seeds, valid.reshape(-1),
-                                         seed_len)
+                                         seed_len, ftab_chars)
 
 
-@partial(jax.jit, static_argnames=("seed_len",))
+@partial(jax.jit, static_argnames=("seed_len", "ftab_chars"))
 def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
-                      seed_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      seed_len: int, ftab_chars: int = 0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched exact seed search. seeds: (B, seed_len); valid: (B,) bool.
 
     Returns (top, bot) each (B,); empty ranges have top == bot.
+    With ftab_chars = K > 0 (and K <= seed_len), the last K seed chars are
+    resolved with one ftab row lookup (reference ftabLoHi, bt2_idx.h:1476)
+    and the scan runs only seed_len - K LF steps.
     """
     B = seeds.shape[0]
     nrows = (half.n + 1).astype(jnp.int32)
@@ -262,9 +274,26 @@ def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
         nbot = jnp.where(dead, 0, nbot)
         return (ntop, nbot), None
 
-    init = (jnp.zeros(B, jnp.int32),
-            jnp.where(valid, nrows, 0).astype(jnp.int32))
-    (top, bot), _ = jax.lax.scan(step, init, seeds[:, ::-1].T)
+    K = ftab_chars
+    if 0 < K <= seed_len:
+        tail = seeds[:, seed_len - K:]
+        has_n = (tail >= 4).any(axis=1)
+        weights = (4 ** jnp.arange(K - 1, -1, -1, dtype=jnp.int64))
+        key = jnp.sum(jnp.clip(tail, 0, 3).astype(jnp.int64)
+                      * weights[None, :], axis=1)
+        top0, bot0 = ftab_lookup_batch(half, key)
+        ok = valid & ~has_n
+        init = (jnp.where(ok, top0, 1).astype(jnp.int32),
+                jnp.where(ok, bot0, 0).astype(jnp.int32))
+        rest = seeds[:, :seed_len - K]
+        if rest.shape[1]:
+            (top, bot), _ = jax.lax.scan(step, init, rest[:, ::-1].T)
+        else:
+            top, bot = init
+    else:
+        init = (jnp.zeros(B, jnp.int32),
+                jnp.where(valid, nrows, 0).astype(jnp.int32))
+        (top, bot), _ = jax.lax.scan(step, init, seeds[:, ::-1].T)
     return top, jnp.maximum(top, bot)
 
 
@@ -294,8 +323,8 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
         row, steps, done = carry
         block = row // OCC_BLOCK
         pos = row - block * OCC_BLOCK                       # (B,)
-        bwt_rows = jnp.take(half.bwt_blocks, block, axis=0)
-        crumbs = _crumbs(bwt_rows)                          # (B, 128)
+        rows = jnp.take(half.lf_blocks, block, axis=0)      # (B, 12)
+        crumbs = _crumbs(rows[:, 4:])                       # (B, 128)
         at = (_LANE[None, :] == pos[:, None])
         c = jnp.sum(jnp.where(at, crumbs, 0), axis=1)       # bwt char at row
         marked = jnp.sum(jnp.where(at, _mark_bits(half, block), 0), axis=1) == 1
@@ -303,8 +332,8 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
         # occ(row, c) using the already-gathered block
         lt = _LANE[None, :] < pos[:, None]
         inb = jnp.sum(((crumbs == c[:, None]) & lt).astype(jnp.int32), axis=1)
-        cp_rows = jnp.take(half.occ_cp, block, axis=0)
-        cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cp_rows, 0), axis=1)
+        cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], rows[:, :4], 0),
+                     axis=1)
         corr = ((c == 0) & (row > half.z_off)).astype(jnp.int32)
         nrow = _fchr_at(half, c) + cp + inb - corr
         row = jnp.where(done_now, row, nrow)

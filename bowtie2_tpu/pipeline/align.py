@@ -556,7 +556,8 @@ class BatchAligner:
         both = np.concatenate([fw, rc], axis=0).astype(np.int32)
         top, bot = fm.seed_search_offsets(
             self.idx.fw, jnp.asarray(both), jnp.asarray(offs_all),
-            jnp.asarray(valid_all), slen)
+            jnp.asarray(valid_all), slen,
+            ftab_chars=self.data.fw.ftab_chars)
         orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
         mlen = np.full_like(offs_all, slen)
         return (orient.astype(np.int32), offs_all, mlen,
