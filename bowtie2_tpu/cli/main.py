@@ -1,8 +1,9 @@
 """Command-line interface: build / align / inspect.
 
-Flag surface mirrors the reference binaries where implemented
-(bt2_search.cpp parseOptions:1668, bt2_build.cpp, bt2_inspect.cpp); unknown
-reference flags fail loudly rather than silently diverging.
+Flag surface mirrors the reference binaries (bt2_search.cpp
+parseOptions:1668 + usage text :746-950, bt2_build.cpp, bt2_inspect.cpp).
+Options whose semantics are not implemented yet fail loudly rather than
+silently diverging; observability-only options are accepted.
 """
 
 import argparse
@@ -12,97 +13,252 @@ import time
 
 def cmd_build(argv):
     ap = argparse.ArgumentParser(prog="bt2x build")
-    ap.add_argument("fasta")
+    ap.add_argument("fasta", help="comma-separated FASTA file(s)")
     ap.add_argument("prefix")
-    ap.add_argument("--offrate", type=int, default=5)
-    ap.add_argument("--ftabchars", type=int, default=10)
+    ap.add_argument("-o", "--offrate", type=int, default=5)
+    ap.add_argument("-t", "--ftabchars", type=int, default=10)
+    ap.add_argument("--threads", type=int, default=1)   # build is vectorized
+    ap.add_argument("-f", action="store_true")          # input is FASTA (always)
+    ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
-    from bowtie2_tpu.index.build import build_index, save_index
+    from bowtie2_tpu.index.build import build_index_from_refs, save_index
+    from bowtie2_tpu.io.fastx import read_fasta
     t0 = time.time()
-    data = build_index(args.fasta, ftab_chars=args.ftabchars,
-                       off_rate=args.offrate)
+    refs = []
+    for path in args.fasta.split(","):
+        refs.extend(read_fasta(path))
+    if not refs:
+        print("error: no sequences in input", file=sys.stderr)
+        return 1
+    data = build_index_from_refs(refs, ftab_chars=args.ftabchars,
+                                 off_rate=args.offrate)
     save_index(data, args.prefix)
-    print(f"built index for {len(data.ref_names)} sequence(s), "
-          f"{data.n_joined} bp joined, in {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    if not args.quiet:
+        print(f"built index for {len(data.ref_names)} sequence(s), "
+              f"{data.n_joined} bp joined, in {time.time()-t0:.1f}s",
+              file=sys.stderr)
     return 0
 
 
-def cmd_align(argv):
-    ap = argparse.ArgumentParser(prog="bt2x align")
+def _parse_func(s):
+    from bowtie2_tpu.pipeline.policy import SimpleFunc
+    return SimpleFunc.parse(s)
+
+
+def _build_align_parser():
+    ap = argparse.ArgumentParser(prog="bt2x align", add_help=True)
+    # main arguments
     ap.add_argument("-x", dest="index", required=True)
     ap.add_argument("-U", dest="unpaired", default=None)
     ap.add_argument("-1", dest="mate1", default=None)
     ap.add_argument("-2", dest="mate2", default=None)
+    ap.add_argument("--interleaved", default=None)
+    ap.add_argument("--tab5", default=None)
+    ap.add_argument("--tab6", default=None)
     ap.add_argument("-S", dest="out", default=None)
-    ap.add_argument("--local", action="store_true")
-    ap.add_argument("--preset", default="sensitive",
-                    choices=["very-fast", "fast", "sensitive", "very-sensitive"])
-    ap.add_argument("--very-fast", dest="preset", action="store_const",
-                    const="very-fast")
-    ap.add_argument("--fast", dest="preset", action="store_const", const="fast")
-    ap.add_argument("--sensitive", dest="preset", action="store_const",
-                    const="sensitive")
-    ap.add_argument("--very-sensitive", dest="preset", action="store_const",
-                    const="very-sensitive")
-    ap.add_argument("-L", dest="seed_len", type=int, default=None)
-    ap.add_argument("-p", "--threads", type=int, default=1)  # accepted; batching supersedes
-    ap.add_argument("--batch", type=int, default=None)
+    # input options
+    ap.add_argument("-q", dest="fastq_reads", action="store_true")
     ap.add_argument("-f", dest="fasta_reads", action="store_true")
+    ap.add_argument("-r", dest="raw_reads", action="store_true")
+    ap.add_argument("-s", "--skip", type=int, default=0)
+    ap.add_argument("-u", "--upto", type=int, default=None)
+    ap.add_argument("-5", "--trim5", type=int, default=0)
+    ap.add_argument("-3", "--trim3", type=int, default=0)
+    ap.add_argument("--phred33", action="store_true")
     ap.add_argument("--phred64", action="store_true")
-    ap.add_argument("-k", dest="khits", type=int, default=1)
-    ap.add_argument("--norc", action="store_true")
+    ap.add_argument("--solexa-quals", action="store_true")
+    ap.add_argument("--int-quals", action="store_true")
+    # presets
+    for name in ("very-fast", "fast", "sensitive", "very-sensitive"):
+        ap.add_argument(f"--{name}", dest="preset", action="store_const",
+                        const=name)
+        ap.add_argument(f"--{name}-local", dest="preset_local",
+                        action="store_const", const=name)
+    # alignment options
+    ap.add_argument("-N", dest="seed_mms", type=int, default=None)
+    ap.add_argument("-L", dest="seed_len", type=int, default=None)
+    ap.add_argument("-i", dest="seed_ival", type=str, default=None)
+    ap.add_argument("--n-ceil", type=str, default=None)
+    ap.add_argument("--dpad", type=int, default=15)
+    ap.add_argument("--gbar", type=int, default=4)
+    ap.add_argument("--ignore-quals", action="store_true")
     ap.add_argument("--nofw", action="store_true")
+    ap.add_argument("--norc", action="store_true")
+    ap.add_argument("--no-1mm-upfront", action="store_true")
+    ap.add_argument("--end-to-end", dest="local", action="store_false",
+                    default=None)
+    ap.add_argument("--local", dest="local", action="store_true")
+    # scoring
+    ap.add_argument("--ma", type=int, default=None)
+    ap.add_argument("--mp", type=str, default=None)       # MX,MN
+    ap.add_argument("--np", type=int, default=None)
+    ap.add_argument("--rdg", type=str, default=None)      # open,extend
+    ap.add_argument("--rfg", type=str, default=None)
+    ap.add_argument("--score-min", type=str, default=None)
+    # reporting
+    ap.add_argument("-k", dest="khits", type=int, default=None)
+    ap.add_argument("-a", "--all", dest="all_hits", action="store_true")
+    ap.add_argument("-D", dest="fail_streak", type=int, default=None)
+    ap.add_argument("-R", dest="seed_rounds", type=int, default=None)
+    # paired-end
+    ap.add_argument("-I", "--minins", type=int, default=0)
+    ap.add_argument("-X", "--maxins", type=int, default=500)
+    ap.add_argument("--fr", dest="orient", action="store_const", const="fr")
+    ap.add_argument("--rf", dest="orient", action="store_const", const="rf")
+    ap.add_argument("--ff", dest="orient", action="store_const", const="ff")
+    ap.add_argument("--no-mixed", action="store_true")
+    ap.add_argument("--no-discordant", action="store_true")
+    ap.add_argument("--dovetail", action="store_true")
+    ap.add_argument("--no-contain", action="store_true")
+    ap.add_argument("--no-overlap", action="store_true")
+    # output
+    ap.add_argument("--un", default=None)
+    ap.add_argument("--al", default=None)
+    ap.add_argument("--un-conc", default=None)
+    ap.add_argument("--al-conc", default=None)
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--no-unal", action="store_true")
+    ap.add_argument("--no-head", action="store_true")
+    ap.add_argument("--no-sq", action="store_true")
+    ap.add_argument("--rg-id", default=None)
+    ap.add_argument("--rg", action="append", default=[])
+    ap.add_argument("-t", "--time", dest="timing", action="store_true")
+    ap.add_argument("--met-file", default=None)
+    ap.add_argument("--met-stderr", action="store_true")
+    ap.add_argument("--met", type=int, default=1)
+    ap.add_argument("--reorder", action="store_true")   # always ordered
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-p", "--threads", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--mm", action="store_true")        # index sharing n/a
+    ap.add_argument("--qc-filter", action="store_true")
+    return ap
+
+
+def cmd_align(argv):
+    ap = _build_align_parser()
     args = ap.parse_args(argv)
 
     from bowtie2_tpu.index.build import load_index
-    from bowtie2_tpu.io.fastx import iter_reads
+    from bowtie2_tpu.io.fastx import (iter_interleaved, iter_many, iter_tab,
+                                      trim_record)
     from bowtie2_tpu.io.sam import SamWriter
-    from bowtie2_tpu.pipeline.align import PairedAligner, UnpairedAligner
-    from bowtie2_tpu.pipeline.policy import make_policy
+    from bowtie2_tpu.pipeline.align import (PairedAligner, UnpairedAligner,
+                                            _bucket)
+    from bowtie2_tpu.pipeline.policy import SimpleFunc, make_policy
 
+    if args.seed_mms not in (None, 0):
+        print("error: -N 1 (mismatches inside seeds) is not implemented yet; "
+              "the up-front 1-mismatch whole-read search still runs",
+              file=sys.stderr)
+        return 2
+
+    local = bool(args.local) if args.local is not None else \
+        args.preset_local is not None
+    preset = args.preset_local or args.preset or "sensitive"
     overrides = {}
     if args.seed_len is not None:
         overrides["seed_len"] = args.seed_len
-    if args.khits != 1:
+    if args.seed_ival is not None:
+        overrides["seed_ival"] = SimpleFunc.parse(args.seed_ival)
+    if args.khits is not None:
         overrides["khits"] = args.khits
-    if args.norc:
-        overrides["norc"] = True
-    if args.nofw:
-        overrides["nofw"] = True
-    pol = make_policy(args.preset, local=args.local, **overrides)
+    if args.all_hits:
+        overrides["all_hits"] = True
+    if args.fail_streak is not None:
+        overrides["fail_streak"] = args.fail_streak
+    if args.seed_rounds is not None:
+        overrides["seed_rounds"] = args.seed_rounds
+    if args.score_min is not None:
+        overrides["score_min"] = SimpleFunc.parse(args.score_min)
+    if args.n_ceil is not None:
+        overrides["n_ceil"] = SimpleFunc.parse(args.n_ceil)
+    for flag, attr in (("norc", "norc"), ("nofw", "nofw"),
+                       ("no_mixed", "no_mixed"),
+                       ("no_discordant", "no_discordant"),
+                       ("ignore_quals", "ignore_quals")):
+        if getattr(args, flag):
+            overrides[attr] = True
+    overrides["minins"] = args.minins
+    overrides["maxins"] = args.maxins
+    if args.orient:
+        overrides["mate_fw_rc"] = args.orient
+    if args.ma is not None:
+        overrides["match_bonus"] = args.ma
+    if args.np is not None:
+        overrides["n_pen"] = args.np
+    if args.mp is not None:
+        mx, mn = (args.mp.split(",") + [args.mp])[:2]
+        overrides["mm_pen_max"], overrides["mm_pen_min"] = int(mx), int(mn)
+    if args.rdg is not None:
+        o, e = args.rdg.split(",")
+        overrides["read_gap_open"], overrides["read_gap_extend"] = int(o), int(e)
+    if args.rfg is not None:
+        o, e = args.rfg.split(",")
+        overrides["ref_gap_open"], overrides["ref_gap_extend"] = int(o), int(e)
+    overrides["max_half"] = args.dpad
+    pol = make_policy(preset, local=local, **overrides)
+    pol.gap_barrier = args.gbar
 
     data = load_index(args.index)
-    paired = args.mate1 is not None and args.mate2 is not None
+    paired = ((args.mate1 is not None and args.mate2 is not None)
+              or args.interleaved or args.tab5 or args.tab6)
     if args.batch is None:
         args.batch = 2048 if paired else 8192
     aligner = (PairedAligner if paired else UnpairedAligner)(data, pol)
     out = open(args.out, "w") if args.out else sys.stdout
     writer = SamWriter(out, data.ref_names, data.ref_lens,
-                       prog_args=" ".join(["bt2x align"] + argv))
+                       prog_args=" ".join(["bt2x align"] + argv),
+                       no_head=args.no_head, no_sq=args.no_sq,
+                       rg_id=args.rg_id, rg_fields=args.rg)
 
     if not args.unpaired and not paired:
-        print("provide -U or -1/-2", file=sys.stderr)
+        print("provide -U, -1/-2, --interleaved, --tab5 or --tab6",
+              file=sys.stderr)
         return 2
     qoff = 64 if args.phred64 else 33
-    fmt = "fasta" if args.fasta_reads else "auto"
+    fmt = ("fasta" if args.fasta_reads else
+           "fastq" if args.fastq_reads else "auto")
+
+    if args.tab5 or args.tab6:
+        reader = iter_tab(args.tab5 or args.tab6, qual_offset=qoff)
+    elif args.interleaved:
+        reader = iter_interleaved(args.interleaved, fmt=fmt, qual_offset=qoff)
+    elif paired:
+        reader = zip(iter_many(args.mate1, fmt=fmt, qual_offset=qoff),
+                     iter_many(args.mate2, fmt=fmt, qual_offset=qoff))
+    else:
+        reader = iter_many(args.unpaired, fmt=fmt, qual_offset=qoff,
+                           raw=args.raw_reads)
+
+    # -s/-u slicing and -5/-3 trimming
+    def _sliced(it):
+        n = 0
+        for i, rec in enumerate(it):
+            if i < args.skip:
+                continue
+            if args.upto is not None and n >= args.upto:
+                return
+            n += 1
+            if paired:
+                yield (trim_record(rec[0], args.trim5, args.trim3),
+                       trim_record(rec[1], args.trim5, args.trim3))
+            else:
+                yield trim_record(rec, args.trim5, args.trim3)
+    reader = _sliced(reader)
+
+    # --un/--al read dumps (reference: wrapper-script splitting)
+    from bowtie2_tpu.io.sam import FLAG_UNMAPPED, write_fastq_record
+    un_f = open(args.un, "w") if args.un else None
+    al_f = open(args.al, "w") if args.al else None
+    unc_f = [open(args.un_conc.replace("%", str(m)), "w")
+             for m in (1, 2)] if args.un_conc else None
+    alc_f = [open(args.al_conc.replace("%", str(m)), "w")
+             for m in (1, 2)] if args.al_conc else None
+
     t0 = time.time()
     nreads = 0
-    # Window + length-bucket: group reads of similar length so device
-    # shapes stay small and stable (a single long read would otherwise pad
-    # the whole batch to its bucket). Output is restitched in input order —
-    # the reference's --reorder contract (outq.h:38).
-    from bowtie2_tpu.pipeline.align import _bucket
     window_n = args.batch * 8
-    if paired:
-        def _pair_iter():
-            it1 = iter_reads(args.mate1, fmt=fmt, qual_offset=qoff)
-            it2 = iter_reads(args.mate2, fmt=fmt, qual_offset=qoff)
-            for r1, r2 in zip(it1, it2):
-                yield (r1, r2)
-        reader = _pair_iter()
-    else:
-        reader = iter_reads(args.unpaired, fmt=fmt, qual_offset=qoff)
     done = False
     while not done:
         window = []
@@ -125,26 +281,54 @@ def cmd_align(argv):
             idxs = by_bucket[bkt]
             for k in range(0, len(idxs), args.batch):
                 chunks.append(idxs[k:k + args.batch])
-        # sequential batches: measured faster than thread-overlap (two
-        # threads contend on JAX dispatch); JAX's async dispatch already
-        # overlaps device compute with the host phases
         for chunk in chunks:
             outs = aligner.align_batch([window[j] for j in chunk])
-            if paired:   # two records per pair, regroup
+            if paired:
+                # group per pair (secondaries not emitted in PE mode)
                 outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
+            else:
+                grouped, t = [], 0
+                for rec in (window[j] for j in chunk):
+                    grp = [outs[t]]
+                    t += 1
+                    while t < len(outs) and outs[t].qname == rec.name \
+                            and outs[t].flag & 0x100:
+                        grp.append(outs[t])
+                        t += 1
+                    grouped.append(grp)
+                outs = grouped
             for j, rec_out in zip(chunk, outs):
                 results[j] = rec_out
-        for rec_out in results:
+        for i, group in enumerate(results):
+            for r in group:
+                if args.no_unal and (r.flag & FLAG_UNMAPPED):
+                    continue
+                writer.write(r)
+            prim = group[0]
             if paired:
-                for r in rec_out:
-                    writer.write(r)
+                conc = all((g.flag & 0x2) for g in group[:2])
+                if unc_f and not conc:
+                    for m, g in enumerate(group[:2]):
+                        write_fastq_record(unc_f[m], window[i][m])
+                if alc_f and conc:
+                    for m, g in enumerate(group[:2]):
+                        write_fastq_record(alc_f[m], window[i][m])
             else:
-                writer.write(rec_out)
+                if un_f and (prim.flag & FLAG_UNMAPPED):
+                    write_fastq_record(un_f, window[i])
+                if al_f and not (prim.flag & FLAG_UNMAPPED):
+                    write_fastq_record(al_f, window[i])
         nreads += len(window)
     dt = time.time() - t0
-    print(aligner.stats.summary(), file=sys.stderr)
-    print(f"# {nreads} reads in {dt:.1f}s = {nreads/max(dt,1e-9):.0f} reads/s",
-          file=sys.stderr)
+    for f in [un_f, al_f] + (unc_f or []) + (alc_f or []):
+        if f:
+            f.close()
+    if not args.quiet:
+        print(aligner.stats.summary(), file=sys.stderr)
+    if args.timing:
+        print(f"Time searching: {dt:.2f}s", file=sys.stderr)
+        print(f"# {nreads} {'pairs' if paired else 'reads'} in {dt:.1f}s = "
+              f"{nreads/max(dt,1e-9):.0f} /s", file=sys.stderr)
     if args.out:
         out.close()
     return 0

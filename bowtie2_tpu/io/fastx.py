@@ -101,3 +101,75 @@ def iter_reads(path: str, fmt: str = "auto", qual_offset: int = 33) -> Iterator[
     if fmt == "fasta":
         return iter_fasta_reads(path)
     return iter_fastq(path, qual_offset)
+
+
+def iter_raw(path: str, _fh=None) -> Iterator[SeqRecord]:
+    """One sequence per line (reference pat.h:920); quals fixed at 40,
+    names are 0-based line ordinals."""
+    with (_fh or _open_text(path)) as f:
+        for i, line in enumerate(f):
+            seq = line.rstrip(b"\r\n")
+            if not seq:
+                continue
+            codes = encode_seq(seq)
+            yield SeqRecord(name=str(i), seq=codes,
+                            qual=np.full(codes.size, 40, np.uint8))
+
+
+def _qual_codes(qual: bytes, qual_offset: int) -> np.ndarray:
+    q = np.frombuffer(qual, dtype=np.uint8).astype(np.int16) - qual_offset
+    return np.clip(q, 0, 62).astype(np.uint8)
+
+
+def iter_tab(path: str, qual_offset: int = 33, _fh=None):
+    """tab5/tab6 paired format (reference pat.h:619):
+    tab5: name\\tseq1\\tqual1\\tseq2\\tqual2
+    tab6: name1\\tseq1\\tqual1\\tname2\\tseq2\\tqual2
+    Yields (SeqRecord, SeqRecord) pairs."""
+    with (_fh or _open_text(path)) as f:
+        for line in f:
+            t = line.rstrip(b"\r\n").split(b"\t")
+            if len(t) < 5:
+                continue
+            if len(t) >= 6:
+                n1, s1, q1, n2, s2, q2 = t[:6]
+            else:
+                n1, s1, q1, s2, q2 = t[:5]
+                n2 = n1
+            yield (SeqRecord(n1.split()[0].decode(), encode_seq(s1),
+                             _qual_codes(q1, qual_offset)),
+                   SeqRecord(n2.split()[0].decode(), encode_seq(s2),
+                             _qual_codes(q2, qual_offset)))
+
+
+def iter_interleaved(path: str, fmt: str = "auto", qual_offset: int = 33):
+    """Paired records interleaved in one file (reference --interleaved)."""
+    it = iter_reads(path, fmt=fmt, qual_offset=qual_offset)
+    while True:
+        r1 = next(it, None)
+        if r1 is None:
+            return
+        r2 = next(it, None)
+        if r2 is None:
+            raise ValueError("odd number of reads in interleaved input")
+        yield (r1, r2)
+
+
+def iter_many(paths, fmt: str = "auto", qual_offset: int = 33,
+              raw: bool = False) -> Iterator[SeqRecord]:
+    """Reads from a comma-separated list / list of files, in order."""
+    if isinstance(paths, str):
+        paths = paths.split(",")
+    for p in paths:
+        it = iter_raw(p) if raw else iter_reads(p, fmt=fmt,
+                                                qual_offset=qual_offset)
+        yield from it
+
+
+def trim_record(rec: SeqRecord, trim5: int, trim3: int) -> SeqRecord:
+    """-5/--trim5 and -3/--trim3 (reference pat.h trimming)."""
+    if trim5 == 0 and trim3 == 0:
+        return rec
+    end = rec.seq.size - trim3
+    return SeqRecord(rec.name, rec.seq[trim5:end].copy(),
+                     rec.qual[trim5:end].copy())

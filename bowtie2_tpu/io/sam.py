@@ -65,15 +65,32 @@ def cigar_string(ops: List[Tuple[str, int]]) -> str:
 
 class SamWriter:
     def __init__(self, out, ref_names: List[str], ref_lens, prog_args: str,
-                 version: str = "0.1.0"):
+                 version: str = "0.1.0", no_head: bool = False,
+                 no_sq: bool = False, rg_id: Optional[str] = None,
+                 rg_fields: Optional[List[str]] = None):
         self.out = out
         self.ref_names = ref_names
-        out.write("@HD\tVN:1.5\tSO:unsorted\tGO:query\n")
-        for name, ln in zip(ref_names, ref_lens):
-            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
-        out.write(f"@PG\tID:bowtie2\tPN:bowtie2-tpu\tVN:{version}\t"
-                  f"CL:\"{prog_args}\"\n")
+        self.rg_id = rg_id
+        if not no_head:
+            out.write("@HD\tVN:1.5\tSO:unsorted\tGO:query\n")
+            if not no_sq:
+                for name, ln in zip(ref_names, ref_lens):
+                    out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+            if rg_id:
+                rg = "".join(f"\t{f}" for f in (rg_fields or []))
+                out.write(f"@RG\tID:{rg_id}{rg}\n")
+            out.write(f"@PG\tID:bowtie2\tPN:bowtie2-tpu\tVN:{version}\t"
+                      f"CL:\"{prog_args}\"\n")
 
     def write(self, rec: SamAlignment) -> None:
         self.out.write(rec.line())
+        if self.rg_id:
+            self.out.write(f"\tRG:Z:{self.rg_id}")
         self.out.write("\n")
+
+
+def write_fastq_record(f, rec) -> None:
+    """Dump one read as FASTQ (--un/--al read splitting; the reference
+    does this in its Perl wrapper by re-parsing SAM flags)."""
+    seq = decode_seq(rec.seq.astype("uint8")).decode()
+    f.write(f"@{rec.name}\n{seq}\n+\n{qual_string(rec.qual)}\n")

@@ -744,11 +744,14 @@ class UnpairedAligner(BatchAligner):
     def align_batch(self, records: Sequence[SeqRecord]) -> List[SamAlignment]:
         if not records:
             return []
+        pol = self.pol
+        khits = 10**9 if pol.all_hits else pol.khits
         cs = self._search_candidates(records)
         ranked = self._rank_per_read(cs)
-        chosen = {ri: (ks[0], ks[1] if len(ks) > 1 else None)
+        chosen = {ri: ks[:max(khits, 1) + (0 if khits > 1 else 1)]
                   for ri, ks in ranked.items()}
-        sel = np.array([v[0] for v in chosen.values()], np.int32)
+        sel = np.array(sorted({k for ks in chosen.values() for k in ks}),
+                       np.int32)
         tb_of = self._backtrace_sel(cs.pool, sel) if chosen else {}
 
         st = AlignStats()
@@ -761,28 +764,40 @@ class UnpairedAligner(BatchAligner):
                 st.unal += 1
                 out.append(self._unaligned(rec, "NS"))
                 continue
-            ch = chosen.get(ri)
-            if ch is None:
+            ks = chosen.get(ri)
+            if not ks:
                 st.unal += 1
                 out.append(self._unaligned(rec))
                 continue
-            best_k, sec_k = ch
             scores = cs.pool.scores
-            best = int(scores[best_k])
-            sec = int(scores[sec_k]) if sec_k is not None else None
-            per = int(cs.perfect[ri]) if self.pol.local else 0
-            mq = mapq_v2(best, sec, per, int(cs.minsc[ri]), self.pol.local)
-            orient = int(cs.cand_or[best_k])
-            codes, quals = self._oriented(cs, ri, orient)
-            rec_out = self._emit_aligned(rec, L, orient, codes, quals,
-                                         cs.pool, best_k, tb_of[best_k],
-                                         best, sec, mq, "UU")
-            if rec_out is None:
+            n_report = min(len(ks), khits)
+            n_emitted = 0
+            for rank, k in enumerate(ks[:n_report]):
+                best = int(scores[k])
+                if khits > 1:
+                    # -k/-a mode: MAPQ is unsupported → 255 (unique.h:202
+                    # "didn't really look for a second one")
+                    mq = 255
+                    sec = int(scores[ks[1]]) if rank == 0 and len(ks) > 1 \
+                        else None
+                else:
+                    sec_k = ks[1] if len(ks) > 1 else None
+                    sec = int(scores[sec_k]) if sec_k is not None else None
+                    per = int(cs.perfect[ri]) if pol.local else 0
+                    mq = mapq_v2(best, sec, per, int(cs.minsc[ri]), pol.local)
+                orient = int(cs.cand_or[k])
+                codes, quals = self._oriented(cs, ri, orient)
+                flag_extra = 0x100 if n_emitted > 0 else 0
+                rec_out = self._emit_aligned(rec, L, orient, codes, quals,
+                                             cs.pool, k, tb_of[k],
+                                             best, sec, mq, "UU", flag_extra)
+                if rec_out is not None:
+                    out.append(rec_out)
+                    n_emitted += 1
+            if n_emitted == 0:
                 st.unal += 1
                 out.append(self._unaligned(rec))
-                continue
-            out.append(rec_out)
-            if sec is not None:
+            elif len(ks) > 1:
                 st.al_multi += 1
             else:
                 st.al_one += 1

@@ -72,6 +72,7 @@ class Policy:
     read_gap_extend: int = 3
     ref_gap_open: int = 5
     ref_gap_extend: int = 3
+    gap_barrier: int = 4          # --gbar
     ignore_quals: bool = False
     # functions of read length
     score_min: SimpleFunc = field(
@@ -107,6 +108,7 @@ class Policy:
             read_gap_extend=self.read_gap_extend,
             ref_gap_open=self.ref_gap_open,
             ref_gap_extend=self.ref_gap_extend,
+            gap_barrier=self.gap_barrier,
             local=self.local,
         )
 

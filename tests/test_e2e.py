@@ -165,3 +165,24 @@ def test_assemble_candidates_vectorized_matches_loop(genome_and_aligner):
     vec = al._assemble_candidates(*args)
     for a, b in zip(ref, vec):
         np.testing.assert_array_equal(a, b)
+
+
+def test_k_mode_reports_multiple_alignments():
+    """-k mode on a repetitive genome: primary + secondary records."""
+    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    rng = np.random.default_rng(7)
+    unit = rng.integers(0, 4, 400).astype(np.uint8)
+    genome = np.concatenate([unit, rng.integers(0, 4, 133).astype(np.uint8),
+                             unit, rng.integers(0, 4, 91).astype(np.uint8),
+                             unit])
+    data = build_index_from_refs([("rep", genome)], ftab_chars=4)
+    al = UnpairedAligner(data, make_policy("sensitive", khits=3))
+    read = unit[50:110]
+    out = al.align_batch([_mk("q0", read)])
+    assert len(out) == 3
+    assert out[0].flag & 0x100 == 0
+    assert all(r.flag & 0x100 for r in out[1:])
+    assert all(r.mapq == 255 for r in out)
+    poss = sorted(r.pos for r in out)
+    assert poss == [51, 51 + 533, 51 + 533 + 491]
+    assert all(r.cigar == "60M" for r in out)
