@@ -210,13 +210,31 @@ class BatchAligner:
     MAX_EXACT_ROWS = 4      # rows resolved per exact-hit range per orientation
     NC_PER_READ = 16        # candidate extension budget per read (~ -D/maxIters)
 
-    def __init__(self, data: IndexData, policy: Policy):
+    def __init__(self, data: IndexData, policy: Policy, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "data" axis — the index
+        is replicated onto every device and all batch-leading device arrays
+        are sharded over it (the reference's parallelism is threads over
+        reads with one shared read-only index, bt2_search.cpp:4874; here
+        the "threads" are TPU chips). Batch sizes must divide the axis."""
         self.data = data
         self.pol = policy
+        self.mesh = mesh
         self.idx = FMIndex.from_host(data)
+        if mesh is not None:
+            from bowtie2_tpu.dist.mesh import replicate_index
+            self.idx = replicate_index(self.idx, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
         self.stats = AlignStats()
         self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
+
+    def _put(self, a):
+        """Host→device: batch-axis sharded over the mesh when one is set."""
+        if self.mesh is None:
+            return jnp.asarray(a)
+        import jax
+        return jax.device_put(np.asarray(a), self._batch_sharding)
 
     # ---------------- phases 1-5a: search → scored candidates ----------------
     def _search_candidates(self, records: Sequence[SeqRecord],
@@ -245,8 +263,8 @@ class BatchAligner:
         # (the device→host link is high-latency; stacked single transfers)
         both = np.concatenate([fw, rc], axis=0)          # (2B, Lmax)
         both_lens = np.concatenate([lens, lens])
-        sweep = fm.exact_sweep(self.idx.fw, jnp.asarray(both),
-                               jnp.asarray(both_lens))
+        sweep = fm.exact_sweep(self.idx.fw, self._put(both),
+                               self._put(both_lens))
         sweep_d = jnp.stack([sweep.top, sweep.bot, sweep.nedit])
         # paired-end reads with both mates passing filter get a 20%-boosted
         # seed interval (bt2_search.cpp:3445-3448)
@@ -291,7 +309,7 @@ class BatchAligner:
         rows_pad = np.zeros(NR, dtype=np.int32)
         rows_pad[:n_cand] = cand_row
         jpos = np.asarray(fm.sa_resolve(
-            self.idx.fw, jnp.asarray(rows_pad),
+            self.idx.fw, self._put(rows_pad),
             period=1 << self.data.off_rate))[:n_cand].astype(np.int64)
 
         # straddle filter: the matched stretch must stay in one segment
@@ -352,8 +370,8 @@ class BatchAligner:
         lo[:n] = self.data.ref_cum[rid].astype(np.int32)
         hi[:n] = self.data.ref_cum[rid + 1].astype(np.int32)
         wins = gather_windows(self.idx.ref_words, self.idx.refn_words,
-                              jnp.asarray(starts), jnp.asarray(lo),
-                              jnp.asarray(hi), width)
+                              self._put(starts), self._put(lo),
+                              self._put(hi), width)
 
         cr = np.zeros(NC, dtype=np.int64)
         cr[:n] = read_idx
@@ -364,9 +382,9 @@ class BatchAligner:
         lens_c = np.maximum(lens[cr], 1)
         lens_c[n:] = 1
 
-        jreads_c = jnp.asarray(reads_c)
-        jquals_c = jnp.asarray(quals_c)
-        jlens_c = jnp.asarray(lens_c)
+        jreads_c = self._put(reads_c)
+        jquals_c = self._put(quals_c)
+        jlens_c = self._put(lens_c)
         res = sw_banded(jreads_c, jquals_c, jlens_c, wins, pol.sw_params(), G)
         # ungapped mismatch count at the anchor diagonal (for the
         # half-candidate 1mm admission gate) — same transfer as DP results
@@ -393,10 +411,10 @@ class BatchAligner:
         Bc = _pow2_at_least(sel.size, lo=64)
         sel_pad = np.zeros(Bc, np.int32)
         sel_pad[:sel.size] = sel
-        jsel = jnp.asarray(sel_pad)
+        jsel = self._put(sel_pad)
         bt = backtrace(pool.dirs, jsel,
-                       jnp.asarray(pool.rows_end[sel_pad].astype(np.int32)),
-                       jnp.asarray(pool.lanes_end[sel_pad].astype(np.int32)),
+                       self._put(pool.rows_end[sel_pad].astype(np.int32)),
+                       self._put(pool.lanes_end[sel_pad].astype(np.int32)),
                        jnp.take(pool.jreads, jsel, axis=0),
                        jnp.take(pool.jquals, jsel, axis=0),
                        jnp.take(pool.wins, jsel, axis=0),
@@ -555,8 +573,8 @@ class BatchAligner:
         valid_all = np.concatenate([valid_off, valid_off], axis=0)
         both = np.concatenate([fw, rc], axis=0).astype(np.int32)
         top, bot = fm.seed_search_offsets(
-            self.idx.fw, jnp.asarray(both), jnp.asarray(offs_all),
-            jnp.asarray(valid_all), slen,
+            self.idx.fw, self._put(both), self._put(offs_all),
+            self._put(valid_all), slen,
             ftab_chars=self.data.fw.ftab_chars)
         orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
         mlen = np.full_like(offs_all, slen)
@@ -579,8 +597,8 @@ class BatchAligner:
         h2 = both[np.arange(B2)[:, None], idx].astype(np.int32)
         seqs = np.concatenate([h1, h2], axis=0)
         hlens = np.concatenate([mid, both_lens - mid]).astype(np.int32)
-        top, bot = fm.substring_search(self.idx.fw, jnp.asarray(seqs),
-                                       jnp.asarray(hlens))
+        top, bot = fm.substring_search(self.idx.fw, self._put(seqs),
+                                       self._put(hlens))
         off = np.stack([np.zeros(B2, np.int32), mid], axis=1)
         mlen = np.stack([mid, both_lens - mid], axis=1)
         return off, mlen, jnp.stack([top, bot])
