@@ -139,7 +139,9 @@ def cmd_align(argv):
     ap = _build_align_parser()
     args = ap.parse_args(argv)
 
-    from bowtie2_tpu.index.build import load_index
+    import os as _os
+
+    from bowtie2_tpu.index.build import load_index, save_index
     from bowtie2_tpu.io.fastx import (iter_interleaved, iter_many, iter_tab,
                                       trim_record)
     from bowtie2_tpu.io.sam import SamWriter
@@ -200,7 +202,24 @@ def cmd_align(argv):
     pol = make_policy(preset, local=local, **overrides)
     pol.gap_barrier = args.gbar
 
-    data = load_index(args.index)
+    if _os.path.exists(args.index + ".bt2t.json"):
+        data = load_index(args.index)
+    elif (_os.path.exists(args.index + ".1.bt2")
+          or _os.path.exists(args.index + ".1.bt2l")):
+        # drop-in use of an existing bowtie2 index: reconstruct the
+        # references from .1/.3/.4 and rebuild in the TPU layout (cached)
+        from bowtie2_tpu.index.bt2_import import import_bt2
+        print(f"importing bowtie2 index {args.index} "
+              f"(converted copy cached as {args.index}.bt2t.*)",
+              file=sys.stderr)
+        data = import_bt2(args.index)
+        try:
+            save_index(data, args.index)
+        except OSError:
+            pass   # read-only location — keep in memory only
+    else:
+        print(f"error: no index found at {args.index}", file=sys.stderr)
+        return 1
     paired = ((args.mate1 is not None and args.mate2 is not None)
               or args.interleaved or args.tab5 or args.tab6)
     if args.batch is None:
