@@ -100,15 +100,17 @@ def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("params", "band"))
 def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
-              refwins: jnp.ndarray, params: SWParams, band: int) -> SWResult:
+              refwins: jnp.ndarray, params: SWParams, band: int,
+              rect_cols: jnp.ndarray = None) -> SWResult:
     """Batched rectangle DP.
 
     reads: (B, Lmax) int32 codes 0..4 (4=N); quals: (B, Lmax) int32;
     read_lens: (B,) int32; refwins: (B, Lmax + 2*band + 1) int32 codes 0..5
     (4=N, 5=out-of-reference); band = 2*maxgap (the rect pad each side,
     dp_framer.cpp:97-100). refwins[b, c] is the ref char at rect column c;
-    column G + i is read row i's no-gap column. Columns beyond the
-    per-read rect (c > read_len-1+2*band) are masked dead.
+    column G + i is read row i's no-gap column. rect_cols (B,) is the
+    number of valid columns per problem — defaults to read_len + 2*band + 1
+    (the seed-extension rect); mate-rescue windows pass the full width.
     """
     p = params
     G = band
@@ -121,9 +123,9 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
     rgo = p.read_gap_open + p.read_gap_extend   # first read-gap char
     fgo = p.ref_gap_open + p.ref_gap_extend     # first ref-gap char
 
-    # per-problem rect column mask (reads shorter than the bucket Lmax)
-    col_ok = (jnp.arange(W, dtype=jnp.int32)[None, :]
-              <= read_lens[:, None] - 1 + 2 * G)
+    if rect_cols is None:
+        rect_cols = read_lens + 2 * G + 1
+    col_ok = (jnp.arange(W, dtype=jnp.int32)[None, :] < rect_cols[:, None])
     refwins = jnp.where(col_ok, refwins, 5)
 
     def row_fn(carry, xs):

@@ -358,7 +358,8 @@ class BatchAligner:
         return cs
 
     def _run_dp(self, win_start, rid, read_idx, orient, fw, qu, rc, qu_r,
-                lens, G: int, Lmax: int, n: int) -> DPPool:
+                lens, G: int, Lmax: int, n: int,
+                full_width: bool = False) -> DPPool:
         """Gather windows + run banded DP for n problems (padded to pow2)."""
         pol = self.pol
         width = Lmax + 2 * G + 1
@@ -385,7 +386,12 @@ class BatchAligner:
         jreads_c = self._put(reads_c)
         jquals_c = self._put(quals_c)
         jlens_c = self._put(lens_c)
-        res = sw_banded(jreads_c, jquals_c, jlens_c, wins, pol.sw_params(), G)
+        # mate-rescue windows span the whole fragment range: every column
+        # of the gathered window is a valid rect column
+        rect_cols = np.full(NC, width, np.int32) if full_width \
+            else (lens_c + 2 * G + 1).astype(np.int32)
+        res = sw_banded(jreads_c, jquals_c, jlens_c, wins, pol.sw_params(),
+                        G, self._put(rect_cols))
         # ungapped mismatch count at the anchor diagonal (for the
         # half-candidate 1mm admission gate) — same transfer as DP results
         diag = wins[:, G:G + Lmax]
@@ -904,7 +910,8 @@ class PairedAligner(BatchAligner):
                 side="right") - 1
             rpool = self._run_dp(r_wlo, r_rid, r_read, r_or,
                                  cs.fw, cs.qu, cs.rc, cs.qu_r, cs.lens,
-                                 Gr, Lmax, len(rescue_specs))
+                                 Gr, Lmax, len(rescue_specs),
+                                 full_width=True)
             r_valid = rpool.scores >= cs.minsc[r_read]
             rsel = np.nonzero(r_valid)[0].astype(np.int32)
             rtb = self._backtrace_sel(rpool, rsel)

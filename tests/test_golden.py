@@ -126,4 +126,4 @@ def test_golden_paired(lambda_index, lambda_reads):
     n_exact = sum(
         1 for key, ours in got.items()
         if all(ours[f] == golden[key][f] for f in FIELDS_CHECKED))
-    assert n_exact / max(len(got), 1) >= 0.93, n_exact
+    assert n_exact / max(len(got), 1) >= 0.95, n_exact
