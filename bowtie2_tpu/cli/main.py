@@ -275,6 +275,13 @@ def cmd_align(argv):
     alc_f = [open(args.al_conc.replace("%", str(m)), "w")
              for m in (1, 2)] if args.al_conc else None
 
+    from bowtie2_tpu.utils.metrics import MetricsSink
+    met_sink = None
+    if args.met_file or args.met_stderr:
+        met_sink = MetricsSink(aligner.metrics,
+                               stream=sys.stderr if args.met_stderr else None,
+                               path=args.met_file, every=args.met)
+
     t0 = time.time()
     nreads = 0
     window_n = args.batch * 8
@@ -302,6 +309,8 @@ def cmd_align(argv):
                 chunks.append(idxs[k:k + args.batch])
         for chunk in chunks:
             outs = aligner.align_batch([window[j] for j in chunk])
+            if met_sink:
+                met_sink.maybe_report()
             if paired:
                 # group per pair (secondaries not emitted in PE mode)
                 outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
@@ -342,6 +351,8 @@ def cmd_align(argv):
     for f in [un_f, al_f] + (unc_f or []) + (alc_f or []):
         if f:
             f.close()
+    if met_sink:
+        met_sink.final()
     if not args.quiet:
         print(aligner.stats.summary(), file=sys.stderr)
     if args.timing:

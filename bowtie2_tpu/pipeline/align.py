@@ -51,6 +51,7 @@ from bowtie2_tpu.pipeline.backtrace import cigar_md_from_packed
 from bowtie2_tpu.pipeline.mapq import mapq_v2
 from bowtie2_tpu.pipeline.pe import PE_DISCORD, pe_classify, rescue_window
 from bowtie2_tpu.pipeline.policy import Policy
+from bowtie2_tpu.utils.metrics import Metrics
 
 LEN_BUCKETS = (64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
                3072, 4096, 6144, 8192)
@@ -226,6 +227,7 @@ class BatchAligner:
             from jax.sharding import NamedSharding, PartitionSpec
             self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
         self.stats = AlignStats()
+        self.metrics = Metrics()
         self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
 
@@ -258,6 +260,8 @@ class BatchAligner:
         cs = CandSet(B=B, Lmax=Lmax, lens=lens, fw=fw, qu=qu, rc=rc,
                      qu_r=qu_r, minsc=minsc, perfect=perfect,
                      filtered=filtered)
+        import time as _time
+        _t = _time.time()
 
         # phase 1+2: dispatch all three searches before pulling any result
         # (the device→host link is high-latency; stacked single transfers)
@@ -291,6 +295,10 @@ class BatchAligner:
         seed_mlen = np.concatenate([seed_mlen, half_mlen], axis=1)
         seed_half = np.zeros_like(seed_off, dtype=bool)
         seed_half[:, smax0:] = True
+        self.metrics.add(
+            t_search=_time.time() - _t,
+            fm_lf_steps=2 * B * Lmax + seed_off.size * 12 + 2 * B * (Lmax // 2))
+        _t = _time.time()
 
         # phase 3: rank + resolve
         (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
@@ -320,6 +328,9 @@ class BatchAligner:
             a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,
                             cand_half, jpos, seg))
 
+        self.metrics.add(t_resolve=_time.time() - _t,
+                         sa_resolves=int(jpos.size))
+        _t = _time.time()
         gpos = (self.data.seg_global_start[seg]
                 + (jpos - self.data.seg_joined_start[seg]))
         anchor = gpos - cand_off
@@ -347,6 +358,9 @@ class BatchAligner:
         # matches the reference's.
         valid &= ~(cand_half & (pool.mm_ug > 1))
 
+        self.metrics.add(
+            t_dp=_time.time() - _t, dp_problems=n_cand,
+            dp_cells=n_cand * Lmax * (Lmax + 2 * G + 1))
         cs.n_cand = n_cand
         cs.cand_read = cand_read
         cs.cand_or = cand_or
@@ -414,6 +428,8 @@ class BatchAligner:
         """Backtrace pool problems sel → {k: (opcol, scalars dict)}."""
         if sel.size == 0:
             return {}
+        import time as _time
+        _t = _time.time()
         Bc = _pow2_at_least(sel.size, lo=64)
         sel_pad = np.zeros(Bc, np.int32)
         sel_pad[:sel.size] = sel
@@ -433,6 +449,8 @@ class BatchAligner:
             out[k] = (ops_host[:, ci],
                       {f: int(sc_host[fi, ci])
                        for fi, f in enumerate(BT_FIELDS)})
+        self.metrics.add(t_backtrace=_time.time() - _t,
+                         backtraces=int(sel.size))
         return out
 
     # ---------------- per-read candidate ranking ----------------
@@ -523,6 +541,8 @@ class BatchAligner:
     def _merge_stats(self, st: AlignStats) -> None:
         with self._stats_lock:
             self.stats.merge(st)
+        self.metrics.add(reads=st.reads, unal=st.unal, al_one=st.al_one,
+                         al_multi=st.al_multi)
 
     # ------------------------------------------------------------------
     def _seed_search(self, fw, rc, lens, ival_boost=None):
