@@ -55,6 +55,8 @@ def _build_align_parser():
     ap.add_argument("--interleaved", default=None)
     ap.add_argument("--tab5", default=None)
     ap.add_argument("--tab6", default=None)
+    ap.add_argument("-b", dest="bam", default=None)
+    ap.add_argument("--qseq", action="store_true")
     ap.add_argument("-S", dest="out", default=None)
     # input options
     ap.add_argument("-q", dest="fastq_reads", action="store_true")
@@ -142,8 +144,8 @@ def cmd_align(argv):
     import os as _os
 
     from bowtie2_tpu.index.build import load_index, save_index
-    from bowtie2_tpu.io.fastx import (iter_interleaved, iter_many, iter_tab,
-                                      trim_record)
+    from bowtie2_tpu.io.fastx import (iter_bam, iter_interleaved, iter_many,
+                                      iter_qseq, iter_tab, trim_record)
     from bowtie2_tpu.io.sam import SamWriter
     from bowtie2_tpu.pipeline.align import (PairedAligner, UnpairedAligner,
                                             _bucket)
@@ -220,8 +222,8 @@ def cmd_align(argv):
     else:
         print(f"error: no index found at {args.index}", file=sys.stderr)
         return 1
-    paired = ((args.mate1 is not None and args.mate2 is not None)
-              or args.interleaved or args.tab5 or args.tab6)
+    paired = bool((args.mate1 is not None and args.mate2 is not None)
+                  or args.interleaved or args.tab5 or args.tab6)
     if args.batch is None:
         args.batch = 2048 if paired else 8192
     aligner = (PairedAligner if paired else UnpairedAligner)(data, pol)
@@ -231,15 +233,22 @@ def cmd_align(argv):
                        no_head=args.no_head, no_sq=args.no_sq,
                        rg_id=args.rg_id, rg_fields=args.rg)
 
-    if not args.unpaired and not paired:
-        print("provide -U, -1/-2, --interleaved, --tab5 or --tab6",
+    if not args.unpaired and not paired and not args.bam:
+        print("provide -U, -1/-2, -b, --interleaved, --tab5 or --tab6",
               file=sys.stderr)
         return 2
     qoff = 64 if args.phred64 else 33
     fmt = ("fasta" if args.fasta_reads else
            "fastq" if args.fastq_reads else "auto")
 
-    if args.tab5 or args.tab6:
+    if args.bam:
+        reader = iter_bam(args.bam)
+    elif args.qseq and args.unpaired:
+        def _qseq_many():
+            for pth in args.unpaired.split(","):
+                yield from iter_qseq(pth)
+        reader = _qseq_many()
+    elif args.tab5 or args.tab6:
         reader = iter_tab(args.tab5 or args.tab6, qual_offset=qoff)
     elif args.interleaved:
         reader = iter_interleaved(args.interleaved, fmt=fmt, qual_offset=qoff)

@@ -15,7 +15,7 @@ from typing import Iterator, List, Tuple
 
 import numpy as np
 
-from bowtie2_tpu.constants import encode_seq
+from bowtie2_tpu.constants import encode_seq, revcomp
 
 
 @dataclass
@@ -173,3 +173,69 @@ def trim_record(rec: SeqRecord, trim5: int, trim3: int) -> SeqRecord:
     end = rec.seq.size - trim3
     return SeqRecord(rec.name, rec.seq[trim5:end].copy(),
                      rec.qual[trim5:end].copy())
+
+
+SEQ4BIT = np.full(16, 4, np.uint8)
+for _i, _c in ((1, 0), (2, 1), (4, 2), (8, 3)):   # A C G T; others → N
+    SEQ4BIT[_i] = _c
+
+
+def iter_bam(path: str) -> Iterator[SeqRecord]:
+    """Read records from a BAM file (reference pat.h:813 BAM input).
+
+    BGZF is a sequence of concatenated gzip members, which Python's gzip
+    module reads natively. Secondary/supplementary records are skipped;
+    reverse-flagged records are restored to original read orientation.
+    """
+    import struct
+
+    with gzip.open(path, "rb") as f:
+        if f.read(4) != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", f.read(4))[0]
+        f.read(l_text)
+        n_ref = struct.unpack("<i", f.read(4))[0]
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", f.read(4))[0]
+            f.read(l_name + 4)
+        while True:
+            bs = f.read(4)
+            if len(bs) < 4:
+                return
+            block_size = struct.unpack("<i", bs)[0]
+            rec = f.read(block_size)
+            (_refid, _pos, l_rn, _mapq, _bin, n_cig, flag, l_seq,
+             _nref, _npos, _tlen) = struct.unpack("<iiBBHHHiiii", rec[:32])
+            if flag & 0x900:          # secondary/supplementary
+                continue
+            off = 32
+            name = rec[off:off + l_rn - 1].decode()
+            off += l_rn + 4 * n_cig
+            nsb = (l_seq + 1) // 2
+            sb = np.frombuffer(rec[off:off + nsb], np.uint8)
+            codes = np.empty(l_seq, np.uint8)
+            codes[0::2] = SEQ4BIT[sb >> 4][:(l_seq + 1) // 2]
+            codes[1::2] = SEQ4BIT[sb & 0xF][:l_seq // 2]
+            off += nsb
+            qual = np.frombuffer(rec[off:off + l_seq], np.uint8).copy()
+            if qual.size and qual[0] == 0xFF:
+                qual = np.full(l_seq, 40, np.uint8)
+            if flag & 0x10:
+                codes = revcomp(codes)
+                qual = qual[::-1].copy()
+            yield SeqRecord(name=name, seq=codes,
+                            qual=np.clip(qual, 0, 62).astype(np.uint8))
+
+
+def iter_qseq(path: str, qual_offset: int = 64, _fh=None) -> Iterator[SeqRecord]:
+    """Illumina qseq format (reference read_qseq.cpp): 11 tab fields;
+    name built from machine_run_lane_tile_x_y, '.' means N."""
+    with (_fh or _open_text(path)) as f:
+        for line in f:
+            t = line.rstrip(b"\r\n").split(b"\t")
+            if len(t) < 11:
+                continue
+            name = b"_".join(t[0:6]).decode()
+            seq = t[8].replace(b".", b"N")
+            yield SeqRecord(name=name, seq=encode_seq(seq),
+                            qual=_qual_codes(t[9], qual_offset))
