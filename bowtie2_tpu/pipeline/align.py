@@ -495,7 +495,11 @@ class BatchAligner:
                 cigar_ops.append(("S", L - read_end))
             md = str(span)
         else:
-            cigar_ops, md = cigar_md_from_packed(opcol, sc["read_start"],
+            # ops occupy a prefix of the walk column: at most span + gap
+            # chars entries (every op consumes a read or ref char)
+            bound = (read_end - sc["read_start"]) + sc["n_gc"] + 1
+            cigar_ops, md = cigar_md_from_packed(opcol[:bound],
+                                                 sc["read_start"],
                                                  read_end, L)
         r_id = int(pool.rid[k])
         g_start = int(pool.win_start[k]) + sc["ref_start_win"]
