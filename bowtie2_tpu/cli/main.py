@@ -151,10 +151,8 @@ def cmd_align(argv):
                                             _bucket)
     from bowtie2_tpu.pipeline.policy import SimpleFunc, make_policy
 
-    if args.seed_mms not in (None, 0):
-        print("error: -N 1 (mismatches inside seeds) is not implemented yet; "
-              "the up-front 1-mismatch whole-read search still runs",
-              file=sys.stderr)
+    if args.seed_mms not in (None, 0, 1):
+        print("error: -N accepts 0 or 1", file=sys.stderr)
         return 2
 
     local = bool(args.local) if args.local is not None else \
@@ -165,6 +163,8 @@ def cmd_align(argv):
         overrides["seed_len"] = args.seed_len
     if args.seed_ival is not None:
         overrides["seed_ival"] = SimpleFunc.parse(args.seed_ival)
+    if args.seed_mms is not None:
+        overrides["seed_mms"] = args.seed_mms
     if args.khits is not None:
         overrides["khits"] = args.khits
     if args.all_hits:

@@ -282,6 +282,14 @@ class BatchAligner:
         seed_or, seed_off, seed_mlen, seed_tb_d, sshape = \
             self._seed_search(fw, rc, lens, ival_boost)
         half_off, half_mlen, half_tb_d = self._half_search(both, both_lens)
+        if pol.seed_mms >= 1:
+            # -N 1: a seed occurrence with <=1 mismatch has one exact seed
+            # half (pigeonhole, verified by the DP extension) — the TPU
+            # formulation of searchSeedBi's in-seed mismatch branching
+            # (aligner_seed.cpp:1859); sensitivity superset of the
+            # reference's.
+            sh_off, sh_mlen, sh_tb_d = self._seed_half_search(
+                fw, rc, seed_off, seed_or)
         sw_top, sw_bot, sw_ned = np.asarray(sweep_d)
         st_bt = np.asarray(seed_tb_d)
         seed_top = st_bt[0, :sshape[0]].reshape(sshape[1], sshape[2])
@@ -297,6 +305,17 @@ class BatchAligner:
         seed_mlen = np.concatenate([seed_mlen, half_mlen], axis=1)
         seed_half = np.zeros_like(seed_off, dtype=bool)
         seed_half[:, smax0:] = True
+        if pol.seed_mms >= 1:
+            st_sh = np.asarray(sh_tb_d)
+            nsh = sh_off.shape[1]
+            seed_off = np.concatenate([seed_off, sh_off], axis=1)
+            seed_top = np.concatenate(
+                [seed_top, st_sh[0].reshape(2 * B, nsh)], axis=1)
+            seed_bot = np.concatenate(
+                [seed_bot, st_sh[1].reshape(2 * B, nsh)], axis=1)
+            seed_mlen = np.concatenate([seed_mlen, sh_mlen], axis=1)
+            seed_half = np.concatenate(
+                [seed_half, np.zeros_like(sh_off, dtype=bool)], axis=1)
         self.metrics.add(
             t_search=_time.time() - _t,
             fm_lf_steps=2 * B * Lmax + seed_off.size * 12 + 2 * B * (Lmax // 2))
@@ -634,6 +653,28 @@ class BatchAligner:
         off = np.stack([np.zeros(B2, np.int32), mid], axis=1)
         mlen = np.stack([mid, both_lens - mid], axis=1)
         return off, mlen, jnp.stack([top, bot])
+
+    def _seed_half_search(self, fw, rc, seed_off, seed_or):
+        """-N 1 support: exact search of both halves of every instantiated
+        seed; hit ranges become ordinary extension candidates."""
+        pol = self.pol
+        B, Lmax = fw.shape
+        slen = pol.seed_len
+        hlen = slen // 2
+        smax = seed_off.shape[1]
+        both = np.concatenate([fw, rc], axis=0).astype(np.int32)
+        # offsets of both halves of every seed window
+        offs = np.concatenate([seed_off, seed_off + hlen], axis=1)
+        offs = np.clip(offs, 0, Lmax - 1).astype(np.int32)
+        valid = np.concatenate(
+            [seed_off + slen <= np.full_like(seed_off, Lmax)] * 2, axis=1)
+        top, bot = fm.seed_search_offsets(
+            self.idx.fw, self._put(both), self._put(offs),
+            self._put(valid), hlen,
+            ftab_chars=min(self.data.fw.ftab_chars, hlen))
+        mlen = np.full_like(offs, hlen)
+        return offs.astype(np.int64), mlen.astype(np.int64), \
+            jnp.stack([top, bot])
 
     def _assemble_candidates(self, B, lens, filtered, sw_top, sw_bot,
                              sw_ned, seed_off, seed_top, seed_bot, seed_mlen,

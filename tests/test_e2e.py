@@ -186,3 +186,26 @@ def test_k_mode_reports_multiple_alignments():
     poss = sorted(r.pos for r in out)
     assert poss == [51, 51 + 533, 51 + 533 + 491]
     assert all(r.cigar == "60M" for r in out)
+
+
+def test_seed_mms_n1_rescues_mismatched_seeds():
+    """-N 1: reads whose every full seed window has a mismatch still align
+    via exact seed halves (pigeonhole)."""
+    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    rng = np.random.default_rng(9)
+    genome = rng.integers(0, 4, 8000).astype(np.uint8)
+    data = build_index_from_refs([("g", genome)], ftab_chars=4)
+    L = 44
+    p = 3000
+    read = genome[p:p + L].copy()
+    # mismatches at 5, 27 kill every 22bp window at the sensitive offsets,
+    # and split the read so neither half of the READ is clean either at
+    # both ends... but each SEED half [11bp] windows around them are clean
+    for q in (5, 27):
+        read[q] = (read[q] + 1) % 4
+    rec = _mk("n1", read)
+    al0 = UnpairedAligner(data, make_policy("sensitive"))
+    al1 = UnpairedAligner(data, make_policy("sensitive", seed_mms=1))
+    out1 = al1.align_batch([rec])
+    assert out1[0].flag & 4 == 0
+    assert out1[0].pos == p + 1
