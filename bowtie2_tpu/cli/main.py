@@ -253,11 +253,16 @@ def cmd_align(argv):
     elif args.interleaved:
         reader = iter_interleaved(args.interleaved, fmt=fmt, qual_offset=qoff)
     elif paired:
-        reader = zip(iter_many(args.mate1, fmt=fmt, qual_offset=qoff),
-                     iter_many(args.mate2, fmt=fmt, qual_offset=qoff))
+        reader = zip(iter_many(args.mate1, fmt=fmt, qual_offset=qoff,
+                               solexa=args.solexa_quals,
+                               int_quals=args.int_quals),
+                     iter_many(args.mate2, fmt=fmt, qual_offset=qoff,
+                               solexa=args.solexa_quals,
+                               int_quals=args.int_quals))
     else:
         reader = iter_many(args.unpaired, fmt=fmt, qual_offset=qoff,
-                           raw=args.raw_reads)
+                           raw=args.raw_reads, solexa=args.solexa_quals,
+                           int_quals=args.int_quals)
 
     # -s/-u slicing and -5/-3 trimming
     def _sliced(it):

@@ -58,8 +58,19 @@ def read_fasta(path: str, _fh=None) -> List[Tuple[str, np.ndarray]]:
     return out
 
 
-def iter_fastq(path: str, qual_offset: int = 33, _fh=None) -> Iterator[SeqRecord]:
-    """Stream FASTQ records. Phred+33 by default (--phred64 → 64)."""
+# Solexa → Phred conversion table (reference qual.h / gen_solqual_lookup.pl):
+# phred = round(10 * log10(1 + 10^(solexa/10)))
+_SOLEXA_TO_PHRED = np.array(
+    [int(round(10 * np.log10(1 + 10 ** (s / 10.0)))) for s in range(-64, 65)],
+    dtype=np.int16)
+
+
+def iter_fastq(path: str, qual_offset: int = 33, _fh=None,
+               solexa: bool = False, int_quals: bool = False
+               ) -> Iterator[SeqRecord]:
+    """Stream FASTQ records. Phred+33 by default (--phred64 → 64);
+    --solexa-quals maps Solexa scale to Phred; --int-quals parses
+    space-separated integers."""
     with (_fh or _open_text(path)) as f:
         while True:
             h = f.readline()
@@ -73,9 +84,17 @@ def iter_fastq(path: str, qual_offset: int = 33, _fh=None) -> Iterator[SeqRecord
             seq = f.readline().rstrip(b"\r\n")
             plus = f.readline()
             qual = f.readline().rstrip(b"\r\n")
-            if not plus.startswith(b"+") or len(qual) != len(seq):
+            if not plus.startswith(b"+"):
                 raise ValueError(f"malformed FASTQ record {h[:50]!r}")
-            q = np.frombuffer(qual, dtype=np.uint8).astype(np.int16) - qual_offset
+            if int_quals:
+                q = np.array([int(x) for x in qual.split()], dtype=np.int16)
+            else:
+                if len(qual) != len(seq):
+                    raise ValueError(f"malformed FASTQ record {h[:50]!r}")
+                q = (np.frombuffer(qual, dtype=np.uint8).astype(np.int16)
+                     - (64 if solexa else qual_offset))
+            if solexa and not int_quals:
+                q = _SOLEXA_TO_PHRED[np.clip(q, -64, 64) + 64]
             yield SeqRecord(
                 name=h[1:].split()[0].decode(),
                 seq=encode_seq(seq),
@@ -156,13 +175,19 @@ def iter_interleaved(path: str, fmt: str = "auto", qual_offset: int = 33):
 
 
 def iter_many(paths, fmt: str = "auto", qual_offset: int = 33,
-              raw: bool = False) -> Iterator[SeqRecord]:
+              raw: bool = False, solexa: bool = False,
+              int_quals: bool = False) -> Iterator[SeqRecord]:
     """Reads from a comma-separated list / list of files, in order."""
     if isinstance(paths, str):
         paths = paths.split(",")
     for p in paths:
-        it = iter_raw(p) if raw else iter_reads(p, fmt=fmt,
-                                                qual_offset=qual_offset)
+        if raw:
+            it = iter_raw(p)
+        elif solexa or int_quals:
+            it = iter_fastq(p, qual_offset, solexa=solexa,
+                            int_quals=int_quals)
+        else:
+            it = iter_reads(p, fmt=fmt, qual_offset=qual_offset)
         yield from it
 
 
