@@ -192,11 +192,14 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
                    | jnp.where(f_from_ext, 8, 0).astype(jnp.uint8))
 
         # best tracking: e2e → only at final row; local → any cell
-        row_best_lane = jnp.argmax(h_cur, axis=1).astype(jnp.int32)
         row_best = jnp.max(h_cur, axis=1)
+        # on equal best scores the reference's reported alignment ends at
+        # the RIGHTMOST column (and, in local mode, the latest row) —
+        # derived from golden tie-break cases
+        colw_i = jnp.arange(W, dtype=jnp.int32)[None, :]
+        row_best_lane = jnp.max(
+            jnp.where(h_cur == row_best[:, None], colw_i, -1), axis=1)
         if p.local:
-            # >= : on score ties the LATER row wins (the reference keeps
-            # 0-net tail extensions; observed golden behavior)
             take = active & (row_best >= best)
         else:
             take = (i == read_lens - 1)
