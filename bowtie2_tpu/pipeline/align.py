@@ -521,7 +521,8 @@ class BatchAligner:
             bound = (read_end - sc["read_start"]) + sc["n_gc"] + 1
             cigar_ops, md = cigar_md_from_packed(opcol[:bound],
                                                  sc["read_start"],
-                                                 read_end, L)
+                                                 read_end, L,
+                                                 read=read_codes)
         r_id = int(pool.rid[k])
         g_start = int(pool.win_start[k]) + sc["ref_start_win"]
         roff = g_start - int(self.data.ref_cum[r_id])

@@ -21,18 +21,26 @@ _REF_CHARS = "ACGTN?"
 
 
 def cigar_md_from_packed(opcol: np.ndarray, read_start: int, read_end: int,
-                         read_len: int) -> Tuple[List[Tuple[str, int]], str]:
+                         read_len: int, read: np.ndarray = None
+                         ) -> Tuple[List[Tuple[str, int]], str]:
     """Decode one device-backtrace op column → (CIGAR ops, MD:Z string).
 
     opcol: (S,) uint8 packed bytes in walk order (read end → read start);
     byte layout matches ops/sw.py backtrace: op(2) | refchar(3) | ismatch(1).
     read_start/read_end delimit the aligned read span (soft clips outside).
+    read (optional, oriented codes): enables leftmost normalization of
+    equal-score gap placements in repeats (the reference's backtracer
+    reports the leftmost variant).
     """
     ops = opcol & 3
     keep = ops != OP_NONE
     opsk = ops[keep][::-1].astype(np.int64)          # forward (5'→3') order
     refc = ((opcol[keep] >> 2) & 7)[::-1].astype(np.int64)
     ismatch = (((opcol[keep] >> 5) & 1) == 1)[::-1]
+
+    if read is not None and (opsk == 1).any() | (opsk == 2).any():
+        opsk, refc, ismatch = _left_align_gaps(opsk, refc, ismatch,
+                                               read, read_start)
 
     cigar: List[Tuple[str, int]] = []
     if read_start > 0:
@@ -69,6 +77,56 @@ def cigar_md_from_packed(opcol: np.ndarray, read_start: int, read_end: int,
         prev = e + 1
     parts.append(str(int(match_cum[-1] - match_cum[prev])))
     return cigar, "".join(parts)
+
+
+def _left_align_gaps(opsk, refc, ismatch, read, read_start):
+    """Shift each gap run left across preceding matching Ms while the
+    score is unchanged (repeat runs): the leftmost equal-score placement,
+    matching the reference backtracer's reported variant."""
+    opsk = opsk.copy()
+    refc = refc.copy()
+    ismatch = ismatch.copy()
+    n = opsk.size
+
+    def read_pos_at(idx):
+        # read position consumed by op idx (M/I consume read chars)
+        return read_start + int(np.sum(opsk[:idx] != 2))
+
+    t = 0
+    while t < n:
+        if opsk[t] not in (1, 2):
+            t += 1
+            continue
+        e = t
+        while e + 1 < n and opsk[e + 1] == opsk[t]:
+            e += 1
+        kind = opsk[t]
+        while t > 0 and opsk[t - 1] == 0 and ismatch[t - 1]:
+            if kind == 2:        # deletion run
+                run = refc[t:e + 1].copy()
+                if refc[t - 1] != run[-1]:
+                    break
+                opsk[t - 1:e] = 2
+                opsk[e] = 0
+                refc[t - 1] = refc[t - 1]          # prev M char leads run
+                refc[t:e] = run[:-1]
+                refc[e] = run[-1]
+                ismatch[e] = True
+            else:                # insertion run
+                m_rpos = read_pos_at(t - 1)
+                after = m_rpos + (e - t + 1)
+                if after >= read.size or                         int(read[after]) != int(refc[t - 1]):
+                    break
+                mchar = refc[t - 1]
+                opsk[t - 1:e] = 1
+                opsk[e] = 0
+                refc[t - 1:e] = 0
+                refc[e] = mchar
+                ismatch[e] = True
+            t -= 1
+            e -= 1
+        t = e + 2
+    return opsk, refc, ismatch
 
 
 @dataclass

@@ -92,7 +92,7 @@ def test_golden_unpaired_e2e(lambda_index, lambda_reads):
         for rec, r in zip(records[k:k + 256],
                           al.align_batch(records[k:k + 256])):
             got[(rec.name, 0)] = _rec_dict(r)
-    _compare(got, golden, 0.995)
+    _compare(got, golden, 1.0)
 
 
 def test_golden_unpaired_local(lambda_index, lambda_reads):
