@@ -135,23 +135,32 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
     # checkpoints before each block, and in-block queries mask by row < i.
     bwt_words = pack_2bit(bwt_padded)
 
-    # occ checkpoints: counts of c in bwt_padded[0 : 128*b] (includes spurious A)
-    onehot = np.zeros((nblocks * OCC_BLOCK, 4), dtype=np.int64)
-    valid = np.arange(nblocks * OCC_BLOCK) < nrows
-    onehot[np.arange(nblocks * OCC_BLOCK)[valid], bwt_padded[valid]] = 1
-    csum = np.concatenate([np.zeros((1, 4), np.int64), np.cumsum(onehot, axis=0)])
-    occ_cp = csum[:: OCC_BLOCK][:nblocks].astype(np.int32)
+    # occ checkpoints: counts of c in bwt_padded[0 : 128*b] (includes
+    # spurious A); per-block counts then an exclusive cumsum — O(n) int32
+    blk = bwt_padded.reshape(nblocks, OCC_BLOCK)
+    valid = (np.arange(nblocks * OCC_BLOCK) < nrows).reshape(nblocks,
+                                                             OCC_BLOCK)
+    per_block = np.stack(
+        [((blk == c) & valid).sum(axis=1) for c in range(4)],
+        axis=1).astype(np.int64)
+    occ_cp = np.concatenate(
+        [np.zeros((1, 4), np.int64),
+         np.cumsum(per_block, axis=0)[:-1]]).astype(np.int32)
 
     # fchr: C[c] = 1 + #chars < c in text  (sentinel occupies row 0)
     counts = np.bincount(text, minlength=4)[:4]
     fchr = np.concatenate([[1], 1 + np.cumsum(counts)]).astype(np.int32)[:5]
 
-    # ftab: keys = first K chars of each suffix (in SA order → sorted)
+    # ftab: keys = first K chars of each suffix (in SA order → sorted).
+    # Build per-position keys with sequential shifted adds (cache-friendly)
+    # then permute with ONE random gather — ~6x less random DRAM traffic
+    # than per-suffix accumulation at genome scale.
     K = ftab_chars
-    idx = sa[:, None] + np.arange(K)[None, :]
-    chars = np.where(idx < n, text[np.minimum(idx, n - 1)], 0).astype(np.int64)
-    weights = 4 ** np.arange(K - 1, -1, -1, dtype=np.int64)
-    keys = (chars * weights[None, :]).sum(axis=1)
+    keys_text = np.zeros(n + 1, dtype=np.int64)
+    tpad = np.concatenate([text, np.zeros(K + 1, np.uint8)]).astype(np.int64)
+    for j in range(K):
+        keys_text = keys_text * 4 + tpad[j:j + n + 1]
+    keys = keys_text[sa]
     full = (sa + K <= n)
     keys2 = keys * 2 + full
     ftab = np.searchsorted(keys2, np.arange(2 * 4**K + 1, dtype=np.int64)).astype(np.int32)
@@ -174,7 +183,7 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
 
 
 def build_index(fasta_path: str, ftab_chars: int = FTAB_CHARS,
-                off_rate: int = OFF_RATE, mirror: bool = True) -> IndexData:
+                off_rate: int = OFF_RATE, mirror: bool = False) -> IndexData:
     refs = read_fasta(fasta_path)
     if not refs:
         raise ValueError(f"no sequences in {fasta_path}")
@@ -182,8 +191,11 @@ def build_index(fasta_path: str, ftab_chars: int = FTAB_CHARS,
 
 
 def build_index_from_refs(refs, ftab_chars: int = FTAB_CHARS,
-                          off_rate: int = OFF_RATE, mirror: bool = True) -> IndexData:
-    """refs: [(name, uint8 codes incl N)]."""
+                          off_rate: int = OFF_RATE, mirror: bool = False) -> IndexData:
+    """refs: [(name, uint8 codes incl N)]. mirror=True additionally builds
+    the reversed-text index (the reference's .rev.1/2.bt2); no current
+    search path uses it (kept for future in-index bidirectional -N 1
+    work), so default off."""
     names = [r[0] for r in refs]
     lens = np.array([r[1].size for r in refs], dtype=np.int64)
     cum = np.concatenate([[0], np.cumsum(lens)])

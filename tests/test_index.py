@@ -124,6 +124,7 @@ def test_save_load_roundtrip(tmp_path, rng):
     back = load_index(str(tmp_path / "idx"))
     np.testing.assert_array_equal(back.fw.bwt_words, data.fw.bwt_words)
     np.testing.assert_array_equal(back.fw.offs, data.fw.offs)
-    np.testing.assert_array_equal(back.bw.bwt_words, data.bw.bwt_words)
+    if data.bw is not None:
+        np.testing.assert_array_equal(back.bw.bwt_words, data.bw.bwt_words)
     assert back.ref_names == data.ref_names
     assert back.fw.z_off == data.fw.z_off
