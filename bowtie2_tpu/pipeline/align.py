@@ -136,20 +136,21 @@ class AlignStats:
 
 
 def pad_reads(records: Sequence[SeqRecord], Lmax: int):
-    """Vectorized padding: → (fw, qu, rc, qu_r, lens), arrays (B, Lmax) int32.
+    """Vectorized padding: → (fw, qu, rc, qu_r, lens), arrays (B, Lmax) int8
+    (4x cheaper host→device transfers; kernels upcast on device).
 
     Pad code is 4 (N) for sequence, 0 for quals.
     """
     B = len(records)
     lens = np.array([r.seq.size for r in records], dtype=np.int32)
-    fw = np.full((B, Lmax), 4, dtype=np.int32)
-    qu = np.zeros((B, Lmax), dtype=np.int32)
-    rc = np.full((B, Lmax), 4, dtype=np.int32)
-    qu_r = np.zeros((B, Lmax), dtype=np.int32)
+    fw = np.full((B, Lmax), 4, dtype=np.int8)
+    qu = np.zeros((B, Lmax), dtype=np.int8)
+    rc = np.full((B, Lmax), 4, dtype=np.int8)
+    qu_r = np.zeros((B, Lmax), dtype=np.int8)
     if B == 0:
         return fw, qu, rc, qu_r, lens
-    allseq = np.concatenate([r.seq for r in records]).astype(np.int32)
-    allq = np.concatenate([r.qual for r in records]).astype(np.int32)
+    allseq = np.concatenate([r.seq for r in records]).astype(np.int8)
+    allq = np.concatenate([r.qual for r in records]).astype(np.int8)
     row = np.repeat(np.arange(B), lens)
     col = np.arange(allseq.size) - np.repeat(np.cumsum(lens) - lens, lens)
     rcol = np.repeat(lens, lens) - 1 - col
@@ -197,6 +198,8 @@ class CandSet:
     minsc: np.ndarray
     perfect: np.ndarray
     filtered: np.ndarray
+    jboth: object = None          # device (2B, Lmax) int8 fw+rc reads
+    jquals: object = None         # device (2B, Lmax) int8 quals fw+rev
     n_cand: int = 0
     cand_read: np.ndarray = None
     cand_or: np.ndarray = None
@@ -267,9 +270,13 @@ class BatchAligner:
 
         # phase 1+2: dispatch all three searches before pulling any result
         # (the device→host link is high-latency; stacked single transfers)
-        both = np.concatenate([fw, rc], axis=0)          # (2B, Lmax)
+        both = np.concatenate([fw, rc], axis=0)          # (2B, Lmax) int8
         both_lens = np.concatenate([lens, lens])
-        sweep = fm.exact_sweep(self.idx.fw, self._put(both),
+        # transfer int8 (4x cheaper over the tunnel), compute in int32
+        # (int8 elementwise ops are slower on the VPU's (32,128) tiling)
+        cs.jboth = self._put(both).astype(jnp.int32)
+        cs.jquals = self._put(np.concatenate([qu, qu_r], axis=0)).astype(jnp.int32)
+        sweep = fm.exact_sweep(self.idx.fw, cs.jboth,
                                self._put(both_lens))
         sweep_d = jnp.stack([sweep.top, sweep.bot, sweep.nedit])
         # paired-end reads with both mates passing filter get a 20%-boosted
@@ -281,7 +288,8 @@ class BatchAligner:
             ival_boost = okm & np.roll(okm, hb)
         seed_or, seed_off, seed_mlen, seed_tb_d, sshape = \
             self._seed_search(fw, rc, lens, ival_boost)
-        half_off, half_mlen, half_tb_d = self._half_search(both, both_lens)
+        half_off, half_mlen, half_tb_d = self._half_search(
+            both, both_lens, cs.jboth)
         if pol.seed_mms >= 1:
             # -N 1: a seed occurrence with <=1 mismatch has one exact seed
             # half (pigeonhole, verified by the DP extension) — the TPU
@@ -370,7 +378,7 @@ class BatchAligner:
         n_cand = anchor.size
         G = pol.band_halfwidth(Lmax)
         pool = self._run_dp(anchor - G, rid, cand_read, cand_or,
-                            fw, qu, rc, qu_r, lens, G, Lmax, n_cand)
+                            cs.jboth, cs.jquals, lens, G, Lmax, n_cand)
 
         valid = pool.scores >= minsc[cand_read]
         # half-read (pigeonhole) candidates model the reference's up-front
@@ -392,11 +400,16 @@ class BatchAligner:
         cs.pool = pool
         return cs
 
-    def _run_dp(self, win_start, rid, read_idx, orient, fw, qu, rc, qu_r,
+    def _run_dp(self, win_start, rid, read_idx, orient, jboth, jquals,
                 lens, G: int, Lmax: int, n: int,
                 full_width: bool = False) -> DPPool:
-        """Gather windows + run banded DP for n problems (padded to pow2)."""
+        """Gather windows + run banded DP for n problems (padded to pow2).
+
+        Candidate read/qual rows are gathered ON DEVICE from the batch
+        arrays uploaded in phase 1 (jboth/jquals, int8): only the (NC,)
+        row indices cross the host link."""
         pol = self.pol
+        B = lens.size
         width = Lmax + 2 * G + 1
         NC = _pow2_at_least(max(n, 1))
         starts = np.zeros(NC, dtype=np.int32)
@@ -413,13 +426,12 @@ class BatchAligner:
         cr[:n] = read_idx
         co = np.zeros(NC, dtype=np.int64)
         co[:n] = orient
-        reads_c = np.where((co == 0)[:, None], fw[cr], rc[cr])
-        quals_c = np.where((co == 0)[:, None], qu[cr], qu_r[cr])
+        rows_idx = (co * B + cr).astype(np.int32)
+        jrows = self._put(rows_idx)
+        jreads_c = jnp.take(jboth, jrows, axis=0)
+        jquals_c = jnp.take(jquals, jrows, axis=0)
         lens_c = np.maximum(lens[cr], 1)
         lens_c[n:] = 1
-
-        jreads_c = self._put(reads_c)
-        jquals_c = self._put(quals_c)
         jlens_c = self._put(lens_c)
         # mate-rescue windows span the whole fragment range: every column
         # of the gathered window is a valid rect column
@@ -633,7 +645,7 @@ class BatchAligner:
         return (orient.astype(np.int32), offs_all, mlen,
                 jnp.stack([top, bot]), (2 * B * smax, 2 * B, smax))
 
-    def _half_search(self, both, both_lens):
+    def _half_search(self, both, both_lens, jboth=None):
         """Pigeonhole half-read exact search (replaces the reference's
         up-front 1-mismatch search, SeedAligner::oneMmSearch
         aligner_seed.cpp:975): an end-to-end alignment with <= 1 edit has
@@ -977,7 +989,7 @@ class PairedAligner(BatchAligner):
                 np.array([ext_lo[s[1]] for s in rescue_specs]),
                 side="right") - 1
             rpool = self._run_dp(r_wlo, r_rid, r_read, r_or,
-                                 cs.fw, cs.qu, cs.rc, cs.qu_r, cs.lens,
+                                 cs.jboth, cs.jquals, cs.lens,
                                  Gr, Lmax, len(rescue_specs),
                                  full_width=True)
             r_valid = rpool.scores >= cs.minsc[r_read]
