@@ -1104,16 +1104,22 @@ class PairedAligner(BatchAligner):
         persum = int(cs.perfect[i] + cs.perfect[B + i]) if pol.local else 0
         mq = mapq_v2(sc_sum, sec_sum, persum, minsum, pol.local)
 
-        # TLEN sign: upstream mate positive; ties broken by strand (fw over
-        # rc) and by mate-1 for --ff (reference setFragmentLength,
-        # aligner_result.h:1311-1341). NOTE: the reference uses soft-clip-
-        # extended coords here; equal for end-to-end mode (local TODO).
-        frag = max(hi1, hi2) - min(lo1, lo2) + 1
+        # TLEN: soft-clip-EXTENDED extents (reference getExtendedCoords /
+        # setFragmentLength, aligner_result.h:1311-1341) — clipped bases
+        # count toward the fragment; sign: upstream mate positive, ties
+        # broken by strand (fw over rc) and mate-1 for --ff. Classification
+        # above used the plain extents (aligner_sw_driver.cpp:2382
+        # refExtent), matching the reference.
+        xl1 = lo1 - t1[1]["read_start"]
+        xh1 = hi1 + (L1 - (int(p1.rows_end[k1]) + 1))
+        xl2 = lo2 - t2[1]["read_start"]
+        xh2 = hi2 + (L2 - (int(p2.rows_end[k2]) + 1))
+        frag = max(xh1, xh2) - min(xl1, xl2) + 1
         fw1, fw2 = o1 == 0, o2 == 0
-        if lo1 == lo2:
+        if xl1 == xl2:
             m1_up = (fw1 and fw2) or (fw1 and not fw2)
         else:
-            m1_up = lo1 < lo2
+            m1_up = xl1 < xl2
         tlen1 = frag if m1_up else -frag
         tlen2 = -tlen1
 

@@ -127,3 +127,22 @@ def test_golden_paired(lambda_index, lambda_reads):
         1 for key, ours in got.items()
         if all(ours[f] == golden[key][f] for f in FIELDS_CHECKED))
     assert n_exact / max(len(got), 1) >= 0.95, n_exact
+
+
+def test_golden_paired_local(lambda_index, lambda_reads):
+    golden = _parse_golden("tests/golden/lambda_pe_local.sam.gz")
+    m2 = lambda_reads.replace("reads_1", "reads_2")
+    pairs = list(itertools.islice(
+        zip(iter_reads(lambda_reads), iter_reads(m2)), N_READS))
+    al = PairedAligner(lambda_index, make_policy("sensitive", local=True))
+    got = {}
+    for k in range(0, len(pairs), 128):
+        chunk = pairs[k:k + 128]
+        outs = al.align_batch(chunk)
+        for t, (r1, r2) in enumerate(chunk):
+            got[(r1.name, 1)] = _rec_dict(outs[2 * t])
+            got[(r2.name, 2)] = _rec_dict(outs[2 * t + 1])
+    n_exact = sum(
+        1 for key, ours in got.items()
+        if all(ours[f] == golden[key][f] for f in FIELDS_CHECKED))
+    assert n_exact / max(len(got), 1) >= 0.90, n_exact
