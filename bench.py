@@ -24,7 +24,7 @@ IDX_PREFIX = "/tmp/bench_lambda_idx"
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/bowtie2_tpu/jax"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bowtie2_tpu.index.build import build_index, load_index, save_index
     from bowtie2_tpu.io.fastx import iter_reads

@@ -15,14 +15,17 @@ import os as _os
 
 # Persistent XLA compile cache: the pipeline uses a small set of bucketed
 # shapes, but first-compile on a TPU backend costs seconds per shape —
-# cache across runs unless the user already configured one. The env var
-# alone is not enough: site hooks may import jax before this package, and
-# jax snapshots the env at import, so set the config directly too.
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    import jax as _jax
+# cache across runs. The env var alone is NOT enough: this JAX build does
+# not read JAX_COMPILATION_CACHE_DIR into the config (verified: config
+# stays None with the env var set), so apply it explicitly — honoring the
+# user's env path when present, else a per-user default.
+import jax as _jax
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.path.expanduser("~/.cache/bowtie2_tpu/jax"))
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/bowtie2_tpu/jax")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def _warm_device_link() -> None:

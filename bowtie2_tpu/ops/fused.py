@@ -1,0 +1,359 @@
+"""Single-dispatch fused alignment pipeline (device-side end to end).
+
+Round-1 ran the per-batch phases as separate device calls with host numpy
+between them (search -> host rank -> resolve -> host assemble -> DP -> host
+select -> backtrace), costing 4+ device round-trips per batch plus host
+work on arrays that never needed to leave the device. On the tunneled
+backend each sync is ~30-50 ms of pure latency, and the host numpy stages
+(candidate assembly, ranking) are exactly the kind of fixed-shape masked
+work the TPU does natively.
+
+This module moves the WHOLE per-batch pipeline into one jitted program:
+
+  exact sweep + seed search + half-read search     (ops/fm.py kernels)
+  -> per-read candidate slot assembly               (canonical budget order)
+  -> SA resolution of every slot                    (ops/fm.py sa_resolve)
+  -> straddle filter, anchor dedupe                 (per-read slot masks)
+  -> compaction -> banded DP                        (ops/sw.py sw_banded)
+  -> per-read ranking (dedupe by (orient,end))      (reference aln_sink
+     selectByScore canonical order: score desc, candidate index asc)
+  -> backtrace of the reported candidates           (ops/sw.py backtrace)
+
+One upload (reads/quals/seed offsets), one download (packed ops + one int32
+metadata vector). Semantics are IDENTICAL to the round-1 host pipeline
+(pipeline/align.py _search_candidates/_rank_per_read), which in turn holds
+100% byte-parity with the reference on the golden corpora; the golden tests
+assert this path produces the same records.
+
+Reference counterparts: SwDriver::extendSeeds flow aligner_sw_driver.cpp,
+prioritizeSATups (rank SA ranges small->large), AlnSinkWrap::finishRead
+selection (aln_sink.cpp:643).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bowtie2_tpu.index.fmindex import FMHalf
+from bowtie2_tpu.ops import fm
+from bowtie2_tpu.ops.ref import gather_windows
+from bowtie2_tpu.ops.sw import SWParams, backtrace, sw_banded
+
+NEG = jnp.int32(-(1 << 29))
+BIGKEY = jnp.int32(1 << 29)
+
+# number of per-chosen scalar fields in the metadata vector (host decode
+# must match pipeline/align.py FusedBatch)
+CHOSEN_FIELDS = 12
+
+
+class SegTables(NamedTuple):
+    """Joined-text segment geometry (device copies of IndexData tables)."""
+    seg_joined_start: jnp.ndarray   # (nseg,) int32
+    seg_global_start: jnp.ndarray   # (nseg,) int32
+    seg_end_joined: jnp.ndarray     # (nseg,) int32 = joined_start + len
+    ref_cum: jnp.ndarray            # (nref+1,) int32
+
+
+class FusedResult(NamedTuple):
+    blob: jnp.ndarray   # (S*Bc + 4*(B*2*kk + Bc*CHOSEN_FIELDS + 1),) uint8:
+                        # packed backtrace ops followed by the bitcast int32
+                        # metadata vector — ONE device->host transfer
+
+
+def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
+                    tops2, bots2, offs2, mlens2, halfs2, max_exact_rows):
+    """Canonical-order candidate slots, (B, T) arrays.
+
+    Mirrors pipeline/align.py _assemble_candidates: exact end-to-end hits
+    first (fw then rc, up to max_exact_rows each), then seed/half SA ranges
+    by ascending width with depth-major round-robin row allocation under
+    the per-read budget T.
+
+    tops2/...: (2B, M2) per-orientation range arrays (rows < B fw, >= B rc).
+    Returns slot_valid, slot_row, slot_or, slot_off, slot_exact, slot_mlen,
+    slot_half — all (B, T).
+    """
+    M2 = tops2.shape[1]
+    M = 2 * M2
+
+    # ---- exact end-to-end hits ----
+    ex_w = jnp.where((sw_ned == 0) & (sw_bot > sw_top), sw_bot - sw_top, 0)
+    ex_w = jnp.minimum(ex_w, max_exact_rows)                     # (2B,)
+    ex_w = jnp.where(jnp.concatenate([live_read, live_read]), ex_w, 0)
+    t_fw = jnp.minimum(ex_w[:B], T)
+    t_rc = jnp.minimum(ex_w[B:], T - t_fw)
+    rem = T - t_fw - t_rc                                        # (B,)
+
+    # ---- seed/half ranges sorted by width ascending ----
+    w = jnp.concatenate([bots2[:B] - tops2[:B],
+                         bots2[B:] - tops2[B:]], axis=1)         # (B, M)
+    w = jnp.maximum(w, 0)
+    w = jnp.where(live_read[:, None], w, 0)
+    tops = jnp.concatenate([tops2[:B], tops2[B:]], axis=1)
+    offs = jnp.concatenate([offs2[:B], offs2[B:]], axis=1)
+    mlens = jnp.concatenate([mlens2[:B], mlens2[B:]], axis=1)
+    halfs = jnp.concatenate([halfs2[:B], halfs2[B:]], axis=1)
+    oris = jnp.concatenate([jnp.zeros((B, M2), jnp.int32),
+                            jnp.ones((B, M2), jnp.int32)], axis=1)
+    order = jnp.argsort(jnp.where(w == 0, BIGKEY, w), axis=1, stable=True)
+    w = jnp.take_along_axis(w, order, axis=1)
+    tops = jnp.take_along_axis(tops, order, axis=1)
+    offs = jnp.take_along_axis(offs, order, axis=1)
+    mlens = jnp.take_along_axis(mlens, order, axis=1)
+    halfs = jnp.take_along_axis(halfs, order, axis=1)
+    oris = jnp.take_along_axis(oris, order, axis=1)
+
+    # ---- depth-major round-robin allocation (deepest full round Dstar,
+    # leftover to the narrowest still-live ranges) ----
+    ds = jnp.arange(T + 1, dtype=jnp.int32)
+    f = jnp.minimum(w[:, :, None], ds[None, None, :]).sum(axis=1)  # (B,T+1)
+    Dstar = jnp.maximum((f <= rem[:, None]).sum(axis=1) - 1, 0)
+    used = jnp.take_along_axis(f, Dstar[:, None], axis=1)[:, 0]
+    extra_budget = rem - used
+    alive = w > Dstar[:, None]
+    extra = alive & (jnp.cumsum(alive, axis=1) <= extra_budget[:, None])
+    n = jnp.minimum(w, Dstar[:, None]) + extra                   # (B, M)
+
+    # ---- slot fill: sort a per-read key table, take first T ----
+    # keys: exact fw d -> d (0..3), exact rc d -> 4+d, seed (depth d,
+    # range j) -> 8 + d*M + j; dead entries get BIGKEY
+    e4 = jnp.arange(max_exact_rows, dtype=jnp.int32)
+    key_fw = jnp.where(e4[None, :] < t_fw[:, None], e4[None, :], BIGKEY)
+    key_rc = jnp.where(e4[None, :] < t_rc[:, None],
+                       max_exact_rows + e4[None, :], BIGKEY)
+    dT = jnp.arange(T, dtype=jnp.int32)
+    seed_key = (8 + dT[None, :, None] * M
+                + jnp.arange(M, dtype=jnp.int32)[None, None, :])
+    seed_key = jnp.where(dT[None, :, None] < n[:, None, :],
+                         seed_key, BIGKEY).reshape(B, T * M)
+    keys = jnp.concatenate([key_fw, key_rc, seed_key], axis=1)
+    keys = jnp.sort(keys, axis=1)[:, :T]                         # (B, T)
+
+    slot_valid = keys < BIGKEY
+    is_exact = keys < 2 * max_exact_rows
+    ex_or = (keys >= max_exact_rows).astype(jnp.int32)
+    ex_d = jnp.where(is_exact, keys % max_exact_rows, 0)
+    q = jnp.where(is_exact, 0, keys - 8)
+    sd = q // M
+    sj = q % M
+
+    rdix = jnp.arange(B, dtype=jnp.int32)[:, None]
+    ex_row = (jnp.take(sw_top, ex_or * B + rdix) + ex_d)
+    seed_row = jnp.take_along_axis(tops, sj, axis=1) + sd
+    slot_row = jnp.where(is_exact, ex_row, seed_row)
+    slot_or = jnp.where(is_exact, ex_or,
+                        jnp.take_along_axis(oris, sj, axis=1))
+    slot_off = jnp.where(is_exact, 0,
+                         jnp.take_along_axis(offs, sj, axis=1))
+    slot_mlen = jnp.where(is_exact, lens[:, None],
+                          jnp.take_along_axis(mlens, sj, axis=1))
+    slot_half = jnp.where(is_exact, False,
+                          jnp.take_along_axis(halfs, sj, axis=1))
+    slot_row = jnp.where(slot_valid, slot_row, 0)
+    return (slot_valid, slot_row, slot_or, slot_off, is_exact & slot_valid,
+            slot_mlen, slot_half)
+
+
+@partial(jax.jit, static_argnames=(
+    "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
+    "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm"))
+def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
+             jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
+             *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
+             half_ftab: int, period: int, T: int, kk: int, kk_bt: int,
+             NC: int, n1: bool, max_exact_rows: int = 4,
+             no_1mm: bool = False) -> FusedResult:
+    """Whole single-end batch pipeline in one device program.
+
+    jboth/jquals: (2B, Lmax) int32 fw+rc codes / quals; lens: (B,);
+    offs_all/valid_all: (2B, smax) instantiated seed offsets (fw rows then
+    rc rows); minsc: (B,) int32; live_read: (B,) bool (filters applied).
+    kk = ranked slots returned per read (khits+1 capped to T); kk_bt =
+    slots backtraced per read; NC = DP problem budget (static).
+    """
+    G = band
+    B2, Lmax = jboth.shape
+    B = B2 // 2
+    W = Lmax + 2 * G + 1
+    lens2 = jnp.concatenate([lens, lens])
+
+    # ---------------- phase 1+2: FM searches ----------------
+    sweep = fm.exact_sweep.__wrapped__(half, jboth, lens2)
+    top_s, bot_s = fm.seed_search_offsets.__wrapped__(
+        half, jboth, offs_all, valid_all, seed_len, ftab_chars)
+    smax = offs_all.shape[1]
+    seed_top = top_s.reshape(B2, smax)
+    seed_bot = bot_s.reshape(B2, smax)
+
+    # pigeonhole half-read search (~ oneMmSearch)
+    mid = lens2 // 2
+    Hmax = Lmax // 2 + 1
+    h1 = jboth[:, :Hmax]
+    idx = jnp.minimum(mid[:, None] + jnp.arange(Hmax, dtype=jnp.int32)[None, :],
+                      Lmax - 1)
+    h2 = jnp.take_along_axis(jboth, idx, axis=1)
+    htop, hbot = fm.substring_search.__wrapped__(
+        half, jnp.concatenate([h1, h2], axis=0),
+        jnp.concatenate([mid, lens2 - mid]))
+    half_off = jnp.stack([jnp.zeros(B2, jnp.int32), mid], axis=1)
+    half_mlen = jnp.stack([mid, lens2 - mid], axis=1)
+    half_top = htop.reshape(2, B2).T
+    half_bot = hbot.reshape(2, B2).T
+    if no_1mm:   # --no-1mm-upfront: skip the up-front 1-mismatch stage
+        half_top = jnp.zeros_like(half_top)
+        half_bot = jnp.zeros_like(half_bot)
+
+    tops2 = jnp.concatenate([seed_top, half_top], axis=1)
+    bots2 = jnp.concatenate([seed_bot, half_bot], axis=1)
+    offs2 = jnp.concatenate([offs_all, half_off], axis=1)
+    mlens2 = jnp.concatenate(
+        [jnp.full((B2, smax), seed_len, jnp.int32), half_mlen], axis=1)
+    halfs2 = jnp.concatenate(
+        [jnp.zeros((B2, smax), bool), jnp.ones((B2, 2), bool)], axis=1)
+
+    if n1:
+        # -N 1 pigeonhole: exact search of both halves of every seed
+        hlen = seed_len // 2
+        sh_offs = jnp.concatenate([offs_all, offs_all + hlen], axis=1)
+        sh_offs = jnp.clip(sh_offs, 0, Lmax - 1)
+        sh_valid = jnp.concatenate(
+            [offs_all + seed_len <= Lmax] * 2, axis=1)
+        shtop, shbot = fm.seed_search_offsets.__wrapped__(
+            half, jboth, sh_offs, sh_valid, hlen, half_ftab)
+        tops2 = jnp.concatenate(
+            [tops2, shtop.reshape(B2, 2 * smax)], axis=1)
+        bots2 = jnp.concatenate(
+            [bots2, shbot.reshape(B2, 2 * smax)], axis=1)
+        offs2 = jnp.concatenate([offs2, sh_offs], axis=1)
+        mlens2 = jnp.concatenate(
+            [mlens2, jnp.full((B2, 2 * smax), hlen, jnp.int32)], axis=1)
+        halfs2 = jnp.concatenate(
+            [halfs2, jnp.zeros((B2, 2 * smax), bool)], axis=1)
+
+    # ---------------- phase 3a: slot assembly ----------------
+    (slot_valid, slot_row, slot_or, slot_off, slot_exact, slot_mlen,
+     slot_half) = _assemble_slots(
+        B, T, lens, live_read, sweep.top, sweep.bot, sweep.nedit,
+        tops2, bots2, offs2, mlens2, halfs2, max_exact_rows)
+
+    # ---------------- phase 3b: SA resolution of every slot ----------------
+    jpos = fm.sa_resolve.__wrapped__(
+        half, slot_row.reshape(-1), period=period).reshape(B, T)
+
+    # straddle filter: matched stretch must stay inside one segment
+    segi = jnp.searchsorted(seg.seg_joined_start, jpos, side="right") - 1
+    seg_ok = jpos + slot_mlen <= jnp.take(seg.seg_end_joined, segi)
+    slot_valid &= seg_ok
+    gpos = jnp.take(seg.seg_global_start, segi) + \
+        (jpos - jnp.take(seg.seg_joined_start, segi))
+    anchor = gpos - slot_off.astype(jnp.int32)
+    rid = jnp.searchsorted(seg.ref_cum, gpos, side="right") - 1
+
+    # dedupe by (orient, anchor) within each read, keep first slot
+    same = (slot_or[:, :, None] == slot_or[:, None, :]) & \
+           (anchor[:, :, None] == anchor[:, None, :]) & \
+           slot_valid[:, :, None] & slot_valid[:, None, :]
+    earlier = jnp.arange(T)[None, :, None] > jnp.arange(T)[None, None, :]
+    dup = (same & earlier).any(axis=2)
+    slot_valid &= ~dup
+
+    # ---------------- phase 4: compact -> windows -> DP ----------------
+    flat_valid = slot_valid.reshape(-1)
+    flat_ids = jnp.arange(B * T, dtype=jnp.int32)
+    ckeys = jnp.where(flat_valid, flat_ids, BIGKEY)
+    perm = jnp.argsort(ckeys, stable=True)[:NC]                  # (NC,)
+    live_c = jnp.take(ckeys, perm) < BIGKEY
+    ci_read = jnp.where(live_c, perm // T, 0)
+    ci_slot = jnp.where(live_c, perm % T, 0)
+
+    c_anchor = anchor[ci_read, ci_slot]
+    c_or = slot_or[ci_read, ci_slot]
+    c_rid = jnp.where(live_c, rid[ci_read, ci_slot], 0)
+    c_half = slot_half[ci_read, ci_slot] & live_c
+
+    win_start = jnp.where(live_c, c_anchor - G, 0).astype(jnp.int32)
+    lo = jnp.take(seg.ref_cum, c_rid).astype(jnp.int32)
+    hi = jnp.take(seg.ref_cum, c_rid + 1).astype(jnp.int32)
+    wins = gather_windows.__wrapped__(ref_words, refn_words, win_start,
+                                      lo, hi, W)
+
+    rows_idx = c_or * B + ci_read
+    jreads_c = jnp.take(jboth, rows_idx, axis=0)
+    jquals_c = jnp.take(jquals, rows_idx, axis=0)
+    lens_c = jnp.where(live_c, jnp.take(lens, ci_read), 1)
+    rect_cols = lens_c + 2 * G + 1
+    res = sw_banded.__wrapped__(jreads_c, jquals_c, lens_c, wins, params,
+                                G, rect_cols)
+
+    # ungapped mismatch count on the anchor diagonal (half-candidate gate)
+    diag = wins[:, G:G + Lmax]
+    mm_ug = jnp.sum(((jreads_c != diag) | (jreads_c >= 4))
+                    & (jnp.arange(Lmax)[None, :] < lens_c[:, None]), axis=1)
+
+    c_score = jnp.where(live_c, res.score, NEG)
+    c_valid = live_c & (c_score >= jnp.take(minsc, ci_read)) & \
+        ~(c_half & (mm_ug > 1))
+    c_end = win_start + res.lane                                  # end pos
+
+    # ---------------- phase 5: per-read ranking ----------------
+    # scatter compact results back to (B, T) slots
+    flat_ci = jnp.where(live_c, perm, B * T)
+    sc_sl = jnp.full(B * T + 1, NEG, jnp.int32).at[flat_ci].set(
+        jnp.where(c_valid, c_score, NEG))[:-1].reshape(B, T)
+    end_sl = jnp.zeros(B * T + 1, jnp.int32).at[flat_ci].set(
+        c_end)[:-1].reshape(B, T)
+    cpos_sl = jnp.zeros(B * T + 1, jnp.int32).at[flat_ci].set(
+        jnp.arange(NC, dtype=jnp.int32))[:-1].reshape(B, T)
+    vd_sl = sc_sl > NEG
+
+    # dedupe by (orient, end): representative = max score, first on ties
+    same2 = (slot_or[:, :, None] == slot_or[:, None, :]) & \
+            (end_sl[:, :, None] == end_sl[:, None, :]) & \
+            vd_sl[:, :, None] & vd_sl[:, None, :]
+    better = (sc_sl[:, None, :] > sc_sl[:, :, None]) | \
+             ((sc_sl[:, None, :] == sc_sl[:, :, None]) & earlier)
+    rep = vd_sl & ~(same2 & better).any(axis=2)
+
+    # rank key: score desc, slot index asc (canonical tie-break)
+    rkey = jnp.where(rep, sc_sl * 32 + (31 - jnp.arange(T, dtype=jnp.int32))
+                     [None, :], NEG)
+    rorder = jnp.argsort(-rkey, axis=1, stable=True)[:, :kk]     # (B, kk)
+    rkey_s = jnp.take_along_axis(rkey, rorder, axis=1)
+    r_valid = rkey_s > NEG
+    r_score = jnp.take_along_axis(sc_sl, rorder, axis=1)
+    r_score = jnp.where(r_valid, r_score, NEG)
+
+    # ---------------- phase 6: backtrace chosen ----------------
+    ch_slot = rorder[:, :kk_bt]                                  # (B, kk_bt)
+    ch_ok = r_valid[:, :kk_bt]
+    ch_ci = jnp.where(ch_ok,
+                      jnp.take_along_axis(cpos_sl, ch_slot, axis=1),
+                      0).T.reshape(-1)                           # (Bc,)
+    bt = backtrace.__wrapped__(
+        res.dirs, ch_ci,
+        jnp.take(res.row, ch_ci), jnp.take(res.lane, ch_ci),
+        jnp.take(jreads_c, ch_ci, axis=0), jnp.take(jquals_c, ch_ci, axis=0),
+        jnp.take(wins, ch_ci, axis=0), params, G)
+
+    ch_okf = ch_ok.T.reshape(-1)
+    g_start = jnp.take(win_start, ch_ci) + bt.ref_start_win
+    ch_rid = jnp.take(c_rid, ch_ci)
+    roff = g_start - jnp.take(seg.ref_cum, ch_rid)
+    meta = jnp.concatenate([
+        r_score.T.reshape(-1), r_valid.T.reshape(-1).astype(jnp.int32),
+        ch_okf.astype(jnp.int32),
+        jnp.take(c_or, ch_ci), ch_rid, roff,
+        bt.read_start, jnp.take(res.row, ch_ci) + 1,
+        bt.n_mm, bt.n_go, bt.n_gc, bt.n_refn, bt.score_check,
+        jnp.take(c_score, ch_ci),
+        # n_dropped: candidates beyond the NC DP budget (host falls back to
+        # the reference-order-preserving unfused path when nonzero)
+        jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32)) - NC, 0)[None],
+    ]).astype(jnp.int32)
+    blob = jnp.concatenate([
+        bt.ops.reshape(-1),
+        jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)])
+    return FusedResult(blob)

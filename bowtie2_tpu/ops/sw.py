@@ -231,6 +231,14 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
 OP_M, OP_I, OP_D, OP_NONE = 0, 1, 2, 3
 
 
+def bt_steps(Lmax: int, W: int, local: bool) -> int:
+    """Backtrace walk length. M+I <= Lmax; total gap chars are bounded by
+    the score budget (each costs >= extend=3; valid alignments only):
+    e2e: -minsc ~ 0.6*L => D < L/4; local: (perfect-minsc)/3 < 2L/3."""
+    slack = (2 * Lmax) // 3 + 48 if local else Lmax // 4 + 48
+    return min(Lmax + slack, Lmax + W + 2)
+
+
 class BTResult(NamedTuple):
     ops: jnp.ndarray          # (S, Bc) uint8 packed op bytes, walk order
                               # (read end → read start); OP_NONE after done
@@ -258,11 +266,7 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
     G = band
     Lmax, B, W = dirs.shape
     Bc = sel.shape[0]
-    # walk length = M+I+D ops; M+I <= Lmax and total gap chars are bounded
-    # by the score budget (each costs >= extend=3; valid alignments only):
-    # e2e: -minsc ~ 0.6*L => D < L/4; local: (perfect-minsc)/3 < 2L/3.
-    slack = (2 * Lmax) // 3 + 48 if p.local else Lmax // 4 + 48
-    S = min(Lmax + slack, Lmax + W + 2)
+    S = bt_steps(Lmax, W, p.local)
     # per-candidate flattened (Bc, Lmax*W) layout: the per-step lookup is then
     # a take_along_axis, which XLA compiles ~200x faster than a flat 1-D
     # gather over the full dirs buffer (measured: 0.6s vs 135s)

@@ -235,6 +235,16 @@ class BatchAligner:
         self.metrics = Metrics()
         self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
+        # device segment tables for the fused pipeline (replicated: tiny)
+        from bowtie2_tpu.ops.fused import SegTables
+        self.seg = SegTables(
+            seg_joined_start=jnp.asarray(
+                data.seg_joined_start.astype(np.int32)),
+            seg_global_start=jnp.asarray(
+                data.seg_global_start.astype(np.int32)),
+            seg_end_joined=jnp.asarray(
+                self._seg_end_joined.astype(np.int32)),
+            ref_cum=jnp.asarray(data.ref_cum.astype(np.int32)))
 
     def _put(self, a):
         """Host→device: batch-axis sharded over the mesh when one is set."""
@@ -583,16 +593,17 @@ class BatchAligner:
                          al_multi=st.al_multi)
 
     # ------------------------------------------------------------------
-    def _seed_search(self, fw, rc, lens, ival_boost=None):
-        """Instantiate + search seeds for both orientations (vectorized).
+    def _seed_offsets(self, lens, ival_boost=None, smax_min: int = 1):
+        """Instantiated seed offsets for both orientations (host numpy).
 
         fw seeds start at depth d from the 5' end; rc seeds are anchored
         from the 3' end (reference instantiateSeq windowGetDna fw=false,
-        aligner_seed.cpp:488). Reference: instantiateSeeds
-        aligner_seed.cpp:498 + searchAllSeeds.
+        aligner_seed.cpp:488). Returns (offs_all, valid_all), each
+        (2B, smax): rows < B fw, rows >= B rc. Reference: instantiateSeeds
+        aligner_seed.cpp:498.
         """
         pol = self.pol
-        B, Lmax = fw.shape
+        B = lens.size
         slen = pol.seed_len
         # Re-seeding rounds beyond the first only run in the reference when
         # round-1 seed hits average >= --seed-boost (300) elements — i.e.
@@ -621,7 +632,7 @@ class BatchAligner:
         offs = offs.reshape(B, -1)
         valid_off = valid_off.reshape(B, -1)
         nkeep = int(valid_off.sum(axis=1).max()) if B else 1
-        smax = max(nkeep, 1)
+        smax = max(nkeep, smax_min, 1)
         smax = 1 << int(np.ceil(np.log2(smax)))          # bucket for stability
         order = np.argsort(~valid_off, axis=1, kind="stable")[:, :smax]
         valid_off = np.take_along_axis(valid_off, order, axis=1)
@@ -629,12 +640,22 @@ class BatchAligner:
                         np.take_along_axis(offs, order, axis=1), 0)
 
         offs_rc = np.where(valid_off, lens[:, None] - offs - slen, 0)
-        # seed windows are extracted ON DEVICE (reads are device-resident
-        # anyway); windows containing N die inside the search kernel, so no
-        # host-side N filter is needed (it only affected multi-round gating,
-        # which is vacuous with one round)
         offs_all = np.concatenate([offs, offs_rc], axis=0).astype(np.int32)
         valid_all = np.concatenate([valid_off, valid_off], axis=0)
+        return offs_all, valid_all
+
+    def _seed_search(self, fw, rc, lens, ival_boost=None):
+        """Search instantiated seeds for both orientations (device).
+
+        Seed windows are extracted ON DEVICE (reads are device-resident
+        anyway); windows containing N die inside the search kernel, so no
+        host-side N filter is needed. Reference: searchAllSeeds.
+        """
+        pol = self.pol
+        B, Lmax = fw.shape
+        slen = pol.seed_len
+        offs_all, valid_all = self._seed_offsets(lens, ival_boost)
+        smax = offs_all.shape[1]
         both = np.concatenate([fw, rc], axis=0).astype(np.int32)
         top, bot = fm.seed_search_offsets(
             self.idx.fw, self._put(both), self._put(offs_all),
@@ -842,10 +863,221 @@ class BatchAligner:
                 np.array(cand[6], dtype=bool))
 
 
+@dataclass
+class FusedBatch:
+    """In-flight fused-pipeline batch: device handle + host-side context.
+
+    submit() dispatches the whole device program and returns immediately
+    (JAX async dispatch); collect() blocks on the single result transfer.
+    Keeping several FusedBatches in flight overlaps host parse/emit with
+    device compute (the reference's readahead thread + worker threads,
+    pat.h:1287, become pipeline stages here)."""
+    records: Sequence[SeqRecord]
+    B: int
+    Bp: int
+    Lmax: int
+    S: int
+    kk: int
+    kk_bt: int
+    lens: np.ndarray
+    fw: np.ndarray
+    qu: np.ndarray
+    rc: np.ndarray
+    qu_r: np.ndarray
+    minsc: np.ndarray
+    perfect: np.ndarray
+    filtered: np.ndarray
+    blob: object                 # device (S*Bc + 4*meta,) uint8
+
+
 class UnpairedAligner(BatchAligner):
-    """Aligns batches of unpaired reads against a loaded index."""
+    """Aligns batches of unpaired reads against a loaded index.
+
+    Default path: the fused single-dispatch device pipeline (ops/fused.py).
+    `_align_batch_host` is the round-1 phase-by-phase path, kept as the
+    fallback for DP-budget overflow and as a differential oracle."""
+
+    def submit(self, records: Sequence[SeqRecord]) -> Optional[FusedBatch]:
+        """Dispatch the fused device program for one batch (non-blocking)."""
+        if not records:
+            return None
+        from bowtie2_tpu.ops.fused import fused_se
+        from bowtie2_tpu.ops.sw import bt_steps
+        import time as _time
+        _t = _time.time()
+        pol = self.pol
+        B = len(records)
+        Bp = _pow2_at_least(B, lo=256)
+        fw, qu, rc, qu_r, lens = pad_reads(
+            records, _bucket(max(max(int(r.seq.size) for r in records), 1)))
+        Lmax = fw.shape[1]
+        if Bp != B:
+            pad = ((0, Bp - B), (0, 0))
+            fw = np.pad(fw, pad, constant_values=4)
+            qu = np.pad(qu, pad)
+            rc = np.pad(rc, pad, constant_values=4)
+            qu_r = np.pad(qu_r, pad)
+            lens = np.pad(lens, (0, Bp - B))
+
+        ulen, inv = np.unique(lens, return_inverse=True)
+        minsc = np.array([pol.min_score(int(l)) if l else 0
+                          for l in ulen], np.int64)[inv]
+        perfect = np.array([pol.perfect_score(int(l)) if pol.local else 0
+                            for l in ulen], np.int64)[inv]
+        nceil = np.array([pol.nceil(int(l)) if l else 0
+                          for l in ulen], np.int32)[inv]
+        n_count = (fw >= 4).sum(axis=1) - (Lmax - lens)
+        filtered = (lens == 0) | (n_count > nceil)
+        live = ~filtered & (lens > 0)
+
+        offs_all, valid_all = self._seed_offsets(lens)
+
+        khits = 10**9 if pol.all_hits else pol.khits
+        T = self.NC_PER_READ
+        kk = min(max(khits, 1) + 1, T)
+        kk_bt = min(max(khits, 1), T)
+        G = pol.band_halfwidth(Lmax)
+        NC = 2 * Bp
+        W = Lmax + 2 * G + 1
+
+        both = np.concatenate([fw, rc], axis=0)
+        jboth = self._put(both).astype(jnp.int32)
+        jquals = self._put(np.concatenate([qu, qu_r], axis=0)).astype(jnp.int32)
+        res = fused_se(
+            self.idx.fw, self.idx.ref_words, self.idx.refn_words, self.seg,
+            jboth, jquals, self._put(lens),
+            self._put(offs_all), self._put(valid_all),
+            self._put(minsc.astype(np.int32)), self._put(live),
+            params=pol.sw_params(), band=G, seed_len=pol.seed_len,
+            ftab_chars=self.data.fw.ftab_chars,
+            half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
+            period=1 << self.data.off_rate, T=T, kk=kk, kk_bt=kk_bt,
+            NC=NC, n1=pol.seed_mms >= 1, no_1mm=getattr(pol, "no_1mm", False))
+        self.metrics.add(t_search=_time.time() - _t)
+        return FusedBatch(records=records, B=B, Bp=Bp, Lmax=Lmax,
+                          S=bt_steps(Lmax, W, pol.local), kk=kk, kk_bt=kk_bt,
+                          lens=lens, fw=fw, qu=qu, rc=rc, qu_r=qu_r,
+                          minsc=minsc, perfect=perfect, filtered=filtered,
+                          blob=res.blob)
+
+    def collect(self, fb: Optional[FusedBatch]) -> List[SamAlignment]:
+        """Block on a submitted batch's single transfer and emit SAM."""
+        if fb is None:
+            return []
+        from bowtie2_tpu.ops.fused import CHOSEN_FIELDS
+        import time as _time
+        _t = _time.time()
+        pol = self.pol
+        B, Bp, kk, kk_bt, S = fb.B, fb.Bp, fb.kk, fb.kk_bt, fb.S
+        Bc = Bp * kk_bt
+        blob = np.asarray(fb.blob)
+        self.metrics.add(t_dp=_time.time() - _t)
+        _t = _time.time()
+        ops = blob[:S * Bc].reshape(S, Bc)
+        meta = blob[S * Bc:].view(np.int32)
+        r_score = meta[:kk * Bp].reshape(kk, Bp)
+        r_valid = meta[kk * Bp:2 * kk * Bp].reshape(kk, Bp) != 0
+        ch = meta[2 * kk * Bp:2 * kk * Bp + CHOSEN_FIELDS * Bc]\
+            .reshape(CHOSEN_FIELDS, Bc)
+        (ch_ok, ch_or, ch_rid, ch_roff, ch_rdstart, ch_rdend, ch_nmm,
+         ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
+        n_dropped = int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc])
+        if n_dropped > 0:
+            # DP budget overflow: rerun this batch on the uncapped
+            # phase-by-phase path (rare; keeps output identical)
+            sys.stderr.write(
+                f"fused DP budget exceeded by {n_dropped}; falling back\n")
+            return self._align_batch_host(fb.records)
+
+        khits = 10**9 if pol.all_hits else pol.khits
+        st = AlignStats()
+        out: List[SamAlignment] = []
+        n_rank = r_valid.sum(axis=0)
+        for ri in range(B):
+            rec = fb.records[ri]
+            st.reads += 1
+            L = int(fb.lens[ri])
+            if fb.filtered[ri]:
+                st.filtered += 1
+                st.unal += 1
+                out.append(self._unaligned(rec, "NS"))
+                continue
+            nr = int(n_rank[ri])
+            if nr == 0:
+                st.unal += 1
+                out.append(self._unaligned(rec))
+                continue
+            n_report = min(nr, khits, kk_bt)
+            n_emitted = 0
+            for j in range(n_report):
+                ci = j * Bp + ri
+                if not ch_ok[ci]:
+                    break
+                best = int(ch_score[ci])
+                if khits > 1:
+                    # -k/-a mode: MAPQ unsupported → 255 (unique.h:202)
+                    mq = 255
+                    sec = int(r_score[1, ri]) if j == 0 and nr > 1 else None
+                else:
+                    sec = int(r_score[1, ri]) if r_valid[1, ri] else None
+                    per = int(fb.perfect[ri]) if pol.local else 0
+                    mq = mapq_v2(best, sec, per, int(fb.minsc[ri]), pol.local)
+                if ch_sccheck[ci] != best:
+                    continue   # backtrace inconsistency: skip (safety net)
+                orient = int(ch_or[ci])
+                if orient == 0:
+                    codes, quals = fb.fw[ri, :L], fb.qu[ri, :L]
+                else:
+                    codes, quals = fb.rc[ri, :L], fb.qu_r[ri, :L]
+                read_start, read_end = int(ch_rdstart[ci]), int(ch_rdend[ci])
+                if ch_nmm[ci] == 0 and ch_ngc[ci] == 0 and ch_nrefn[ci] == 0:
+                    span = read_end - read_start
+                    cigar_ops = []
+                    if read_start > 0:
+                        cigar_ops.append(("S", read_start))
+                    cigar_ops.append(("M", span))
+                    if read_end < L:
+                        cigar_ops.append(("S", L - read_end))
+                    md = str(span)
+                else:
+                    bound = (read_end - read_start) + int(ch_ngc[ci]) + 1
+                    cigar_ops, md = cigar_md_from_packed(
+                        ops[:bound, ci], read_start, read_end, L, read=codes)
+                flag = (FLAG_REVERSE if orient else 0) \
+                    | (0x100 if n_emitted > 0 else 0)
+                opts = [("AS", "i", best)]
+                if sec is not None:
+                    opts.append(("XS", "i", sec))
+                opts += [("XN", "i", int(ch_nrefn[ci])),
+                         ("XM", "i", int(ch_nmm[ci])),
+                         ("XO", "i", int(ch_ngo[ci])),
+                         ("XG", "i", int(ch_ngc[ci])),
+                         ("NM", "i", int(ch_nmm[ci] + ch_ngc[ci])),
+                         ("MD", "Z", md), ("YT", "Z", "UU")]
+                out.append(SamAlignment(
+                    qname=rec.name, flag=flag,
+                    rname=self.data.ref_names[int(ch_rid[ci])],
+                    pos=int(ch_roff[ci]) + 1, mapq=mq,
+                    cigar=cigar_string(cigar_ops),
+                    seq=decode_seq(codes.astype(np.uint8)).decode(),
+                    qual=qual_string(quals), opts=opts))
+                n_emitted += 1
+            if n_emitted == 0:
+                st.unal += 1
+                out.append(self._unaligned(rec))
+            elif nr > 1:
+                st.al_multi += 1
+            else:
+                st.al_one += 1
+        self._merge_stats(st)
+        self.metrics.add(t_host=_time.time() - _t)
+        return out
 
     def align_batch(self, records: Sequence[SeqRecord]) -> List[SamAlignment]:
+        return self.collect(self.submit(records))
+
+    def _align_batch_host(self, records: Sequence[SeqRecord]
+                          ) -> List[SamAlignment]:
         if not records:
             return []
         pol = self.pol
