@@ -43,12 +43,15 @@ def main():
         for i, rec in enumerate(records):
             by_bucket.setdefault(_bucket(max(rec.seq.size, 1)), []).append(i)
         n = 0
+        handles = []
         for bkt in sorted(by_bucket):
             idxs = by_bucket[bkt]
             for k in range(0, len(idxs), batch):
                 chunk = [records[j] for j in idxs[k:k + batch]]
-                aligner.align_batch(chunk)
+                handles.append(aligner.submit(chunk))
                 n += len(chunk)
+        for h in handles:
+            aligner.collect(h)
         return n
 
     run(UnpairedAligner(data, make_policy("sensitive")))  # warmup/compile

@@ -321,10 +321,20 @@ def cmd_align(argv):
             idxs = by_bucket[bkt]
             for k in range(0, len(idxs), args.batch):
                 chunks.append(idxs[k:k + args.batch])
-        for chunk in chunks:
-            outs = aligner.align_batch([window[j] for j in chunk])
+        # pipelined dispatch: keep a few batches in flight so host
+        # parse/emit overlaps device compute (JAX async dispatch)
+        from collections import deque
+        DEPTH = 3
+        pend = deque()
+
+        def _drain():
+            chunk, h = pend.popleft()
+            outs = aligner.collect(h)
             if met_sink:
                 met_sink.maybe_report()
+            _scatter(chunk, outs)
+
+        def _scatter(chunk, outs):
             if paired:
                 # group per pair (secondaries not emitted in PE mode)
                 outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
@@ -341,6 +351,14 @@ def cmd_align(argv):
                 outs = grouped
             for j, rec_out in zip(chunk, outs):
                 results[j] = rec_out
+
+        for chunk in chunks:
+            pend.append((chunk,
+                         aligner.submit([window[j] for j in chunk])))
+            if len(pend) > DEPTH:
+                _drain()
+        while pend:
+            _drain()
         for i, group in enumerate(results):
             for r in group:
                 if args.no_unal and (r.flag & FLAG_UNMAPPED):

@@ -1,0 +1,181 @@
+/* samemit.c — batched CIGAR + MD:Z decoding of packed backtrace ops.
+ *
+ * Host-side native stage of the TPU pipeline: the device backtrace kernel
+ * (ops/sw.py backtrace) returns one packed op byte per walk step
+ * (op(2 bits) | refchar(3) | ismatch(1), walk order = read end -> start);
+ * this translates each record's op column into its CIGAR and MD:Z strings,
+ * including the leftmost-gap normalization of equal-score gap placements.
+ * It replaces pipeline/backtrace.py cigar_md_from_packed (~100 us/record
+ * of numpy) with ~1 us/record of C, the same role the reference's native
+ * Edit/CIGAR machinery plays (edit.h/cpp Edit::printMD, aligner_bt.cpp).
+ *
+ * Build: see bowtie2_tpu/native/__init__.py (cc -O3 -shared).
+ */
+
+#include <stdint.h>
+#include <stdio.h>
+#include <string.h>
+
+#define OP_M 0
+#define OP_I 1
+#define OP_D 2
+#define OP_NONE 3
+
+static const char REF_CHARS[8] = "ACGTN???";
+
+/* append an unsigned int as decimal */
+static inline char *put_u32(char *p, uint32_t v) {
+    char tmp[12];
+    int n = 0;
+    if (v == 0) { *p++ = '0'; return p; }
+    while (v) { tmp[n++] = (char)('0' + v % 10); v /= 10; }
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+/* Decode one record. ops_col walks read end -> read start with stride
+ * `stride` between steps. Work buffers opsk/refc/ismatch must hold at
+ * least `bound` entries. Returns 0, or -1 on overflow. */
+static int decode_one(const uint8_t *ops_col, long stride, int bound,
+                      int read_start, int read_end, int read_len,
+                      const int8_t *read,
+                      uint8_t *opsk, uint8_t *refc, uint8_t *ismatch,
+                      char *cigar, int cigar_cap,
+                      char *md, int md_cap) {
+    /* collect forward-order (5'->3') ops */
+    int n = 0, has_gap = 0;
+    for (int s = bound - 1; s >= 0; s--) {
+        uint8_t b = ops_col[(long)s * stride];
+        uint8_t op = b & 3;
+        if (op == OP_NONE) continue;
+        opsk[n] = op;
+        refc[n] = (b >> 2) & 7;
+        ismatch[n] = (b >> 5) & 1;
+        if (op != OP_M) has_gap = 1;
+        n++;
+    }
+
+    /* leftmost-gap normalization: shift each gap run left across preceding
+     * matching Ms while the score is unchanged (repeat runs) — the
+     * reference backtracer reports the leftmost equal-score variant. */
+    if (has_gap) {
+        int t = 0;
+        while (t < n) {
+            if (opsk[t] != OP_I && opsk[t] != OP_D) { t++; continue; }
+            int e = t;
+            while (e + 1 < n && opsk[e + 1] == opsk[t]) e++;
+            int kind = opsk[t];
+            while (t > 0 && opsk[t - 1] == OP_M && ismatch[t - 1]) {
+                if (kind == OP_D) {
+                    /* shifting a deletion run one left keeps the score
+                     * only when the leading matched char equals the run's
+                     * last deleted char; ref chars stay in place */
+                    if (refc[t - 1] != refc[e]) break;
+                    for (int q = t - 1; q < e; q++) opsk[q] = OP_D;
+                    opsk[e] = OP_M;
+                    ismatch[e] = 1;
+                } else {
+                    /* insertion: read position consumed by ops before t-1 */
+                    int m_rpos = read_start;
+                    for (int q = 0; q < t - 1; q++)
+                        if (opsk[q] != OP_D) m_rpos++;
+                    int after = m_rpos + (e - t + 1);
+                    if (after >= read_len ||
+                        (int)read[after] != (int)refc[t - 1]) break;
+                    uint8_t mchar = refc[t - 1];
+                    for (int q = t - 1; q < e; q++) {
+                        opsk[q] = OP_I;
+                        refc[q] = 0;
+                    }
+                    opsk[e] = OP_M;
+                    refc[e] = mchar;
+                    ismatch[e] = 1;
+                }
+                t--; e--;
+            }
+            t = e + 2;
+        }
+    }
+
+    /* CIGAR: run-length with soft clips */
+    char *p = cigar, *pend = cigar + cigar_cap - 16;
+    if (read_start > 0) { p = put_u32(p, (uint32_t)read_start); *p++ = 'S'; }
+    int i = 0;
+    while (i < n) {
+        int j = i;
+        while (j + 1 < n && opsk[j + 1] == opsk[i]) j++;
+        if (p >= pend) return -1;
+        p = put_u32(p, (uint32_t)(j - i + 1));
+        *p++ = "MID"[opsk[i]];
+        i = j + 1;
+    }
+    if (read_end < read_len) {
+        p = put_u32(p, (uint32_t)(read_len - read_end));
+        *p++ = 'S';
+    }
+    *p = 0;
+
+    /* MD:Z — match run lengths, mismatch ref chars, ^-runs for deletions;
+     * insertions are invisible (reference Edit::printMD). */
+    char *q = md, *qend = md + md_cap - 16;
+    int run = 0, in_del = 0;
+    for (i = 0; i < n; i++) {
+        if (q >= qend) return -1;
+        if (opsk[i] == OP_M) {
+            if (ismatch[i]) { run++; in_del = 0; }
+            else {
+                q = put_u32(q, (uint32_t)run);
+                *q++ = REF_CHARS[refc[i]];
+                run = 0; in_del = 0;
+            }
+        } else if (opsk[i] == OP_D) {
+            if (in_del && run == 0) {
+                *q++ = REF_CHARS[refc[i]];
+            } else {
+                q = put_u32(q, (uint32_t)run);
+                *q++ = '^';
+                *q++ = REF_CHARS[refc[i]];
+                run = 0;
+            }
+            in_del = 1;
+        }
+        /* OP_I: no MD output, and does not reset the match run */
+    }
+    q = put_u32(q, (uint32_t)run);
+    *q = 0;
+    return 0;
+}
+
+/* Batched entry point.
+ * ops: (S, Bc) uint8, C-contiguous (stride Bc between walk steps).
+ * cols/read_start/read_end/read_len/bound: (n,) int32 per record.
+ * reads: (n, Lmax) int8 oriented read codes.
+ * cigar_out/md_out: (n, *_stride) char buffers (NUL-terminated rows).
+ * Returns 0 or the number of overflowed records (their rows are ""). */
+int cigar_md_batch(const uint8_t *ops, int64_t S, int64_t Bc,
+                   const int32_t *cols, const int32_t *read_start,
+                   const int32_t *read_end, const int32_t *read_len,
+                   const int32_t *bound, const int8_t *reads, int64_t Lmax,
+                   int64_t n, char *cigar_out, int64_t cigar_stride,
+                   char *md_out, int64_t md_stride) {
+    int bad = 0;
+    /* work buffers sized by the max possible walk length */
+    enum { MAXOPS = 32768 };
+    uint8_t opsk[MAXOPS], refc[MAXOPS], ismatch[MAXOPS];
+    for (int64_t r = 0; r < n; r++) {
+        int b = bound[r];
+        if (b > (int)S) b = (int)S;
+        if (b > MAXOPS) { bad++; cigar_out[r * cigar_stride] = 0;
+                          md_out[r * md_stride] = 0; continue; }
+        if (decode_one(ops + cols[r], Bc, b, read_start[r], read_end[r],
+                       read_len[r], reads + r * Lmax,
+                       opsk, refc, ismatch,
+                       cigar_out + r * cigar_stride, (int)cigar_stride,
+                       md_out + r * md_stride, (int)md_stride) != 0) {
+            bad++;
+            cigar_out[r * cigar_stride] = 0;
+            md_out[r * md_stride] = 0;
+        }
+    }
+    return bad;
+}

@@ -135,14 +135,22 @@ class SweepResult(NamedTuple):
 @jax.jit
 def exact_sweep(half: FMHalf, reads: jnp.ndarray, lengths: jnp.ndarray) -> SweepResult:
     """Batched exact sweep. reads: (B, Lmax) int32 codes (4=N); lengths: (B,)."""
-    B, Lmax = reads.shape
-    nrows = (half.n + 1).astype(jnp.int32)
-
     # right-to-left chars, aligned so column p holds read[length-1-p];
     # code 5 marks inactive steps (p >= length)
+    B, Lmax = reads.shape
     pos = lengths[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
     rr = jnp.take_along_axis(reads, jnp.clip(pos, 0, Lmax - 1), axis=1)
     rr = jnp.where(pos >= 0, rr, 5)
+    return exact_sweep_rr.__wrapped__(half, rr)
+
+
+@jax.jit
+def exact_sweep_rr(half: FMHalf, rr: jnp.ndarray) -> SweepResult:
+    """exact_sweep on a pre-reversed char stream (rr[:, p] = read[len-1-p],
+    5 = inactive). Callers that hold both orientations build rr with zero
+    gathers: the reversed fw read is the complement of the rc read row."""
+    B, Lmax = rr.shape
+    nrows = (half.n + 1).astype(jnp.int32)
 
     def step(carry, c):
         top, bot, nedit = carry
@@ -189,10 +197,19 @@ def substring_search(half: FMHalf, seqs: jnp.ndarray, lengths: jnp.ndarray
     empty ranges have top >= bot.
     """
     B, Lmax = seqs.shape
-    nrows = (half.n + 1).astype(jnp.int32)
     pos = lengths[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
     rr = jnp.take_along_axis(seqs, jnp.clip(pos, 0, Lmax - 1), axis=1)
     rr = jnp.where(pos >= 0, rr, 5)            # 5 = inactive (past length)
+    return substring_search_rr.__wrapped__(half, rr)
+
+
+@jax.jit
+def substring_search_rr(half: FMHalf, rr: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """substring_search on a pre-reversed stream (rr[:, p] = s[len-1-p],
+    5 = inactive past the string's length)."""
+    B, Lmax = rr.shape
+    nrows = (half.n + 1).astype(jnp.int32)
 
     def step(carry, c):
         top, bot = carry

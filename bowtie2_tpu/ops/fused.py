@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from bowtie2_tpu.index.fmindex import FMHalf
 from bowtie2_tpu.ops import fm
-from bowtie2_tpu.ops.ref import gather_windows
+from bowtie2_tpu.ops.ref import aligned_width, gather_windows_aligned
 from bowtie2_tpu.ops.sw import SWParams, backtrace, sw_banded
 
 NEG = jnp.int32(-(1 << 29))
@@ -61,6 +61,58 @@ class FusedResult(NamedTuple):
     blob: jnp.ndarray   # (S*Bc + 4*(B*2*kk + Bc*CHOSEN_FIELDS + 1),) uint8:
                         # packed backtrace ops followed by the bitcast int32
                         # metadata vector — ONE device->host transfer
+
+
+def _pack4(codes: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) int32 codes 0..5 → (B, ceil(L/8)) int32, 4 bits per code.
+
+    Per-element gathers cost ~10ns/element on this backend; extracting
+    subsequences from packed words turns an m*length-element gather into an
+    m*nwords one (8x fewer) plus cheap shifts."""
+    B, L = codes.shape
+    if L % 8:
+        codes = jnp.concatenate(
+            [codes, jnp.full((B, 8 - L % 8), 5, jnp.int32)], axis=1)
+    return jnp.sum(codes.reshape(B, -1, 8)
+                   << (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :],
+                   axis=2)
+
+
+def _extract_packed(words: jnp.ndarray, offs: jnp.ndarray, length: int
+                    ) -> jnp.ndarray:
+    """Extract fixed-length windows from packed 4-bit rows.
+
+    words: (B, Lw) int32 packed rows; offs: (B, m) window starts (chars).
+    Returns (B, m, length) int32 codes. Out-of-row positions read garbage;
+    callers mask by validity.
+    """
+    B, Lw = words.shape
+    m = offs.shape[1]
+    nw = (length + 7) // 8 + 1
+    w0 = jnp.clip(offs, 0, None) // 8
+    # short rows: select straight from the broadcast row (no gather at
+    # all); long rows: gather nw words per window first
+    if Lw <= max(32, nw):
+        loc = jnp.broadcast_to(words[:, None, :], (B, m, Lw))
+        w0 = jnp.zeros_like(w0)
+        rel = jnp.clip(offs, 0, None)
+        nsel = Lw
+    else:
+        widx = jnp.clip(w0[:, :, None]
+                        + jnp.arange(nw, dtype=jnp.int32)[None, None, :],
+                        0, Lw - 1)
+        loc = jnp.take_along_axis(words, widx.reshape(B, -1),
+                                  axis=1).reshape(B, m, nw)
+        rel = jnp.clip(offs, 0, None) - w0 * 8
+        nsel = nw
+    k = jnp.arange(length, dtype=jnp.int32)
+    cpos = rel[:, :, None] + k[None, None, :]             # (B, m, length)
+    word_of = cpos // 8
+    bit_of = 4 * (cpos % 8)
+    sel = jnp.sum(jnp.where(
+        word_of[..., None] == jnp.arange(nsel, dtype=jnp.int32),
+        loc[:, :, None, :], 0), axis=3)
+    return (sel >> bit_of) & 15
 
 
 def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
@@ -179,25 +231,39 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     B = B2 // 2
     W = Lmax + 2 * G + 1
     lens2 = jnp.concatenate([lens, lens])
+    parange = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+
+    # Reversed char streams with ZERO gathers: the reversed fw read is the
+    # complement of the rc read row (both are uploaded anyway), since
+    # rc[p] = comp(read[len-1-p]). R[:, p] = read[len-1-p]; 5 = inactive.
+    other = jnp.concatenate([jboth[B:], jboth[:B]], axis=0)
+    R = jnp.where(other < 4, 3 - other, other)
+    R = jnp.where(parange < lens2[:, None], R, 5)
+    jpack = _pack4(jboth)                  # forward reads, packed 4-bit
+    rpack = _pack4(R)                      # reversed streams, packed
 
     # ---------------- phase 1+2: FM searches ----------------
-    sweep = fm.exact_sweep.__wrapped__(half, jboth, lens2)
-    top_s, bot_s = fm.seed_search_offsets.__wrapped__(
-        half, jboth, offs_all, valid_all, seed_len, ftab_chars)
+    sweep = fm.exact_sweep_rr.__wrapped__(half, R)
+
+    # seed windows extracted from packed rows (no per-element char gather)
     smax = offs_all.shape[1]
+    seeds = _extract_packed(jpack, offs_all, seed_len).reshape(-1, seed_len)
+    top_s, bot_s = fm.seed_search_exact.__wrapped__(
+        half, seeds, valid_all.reshape(-1), seed_len, ftab_chars)
     seed_top = top_s.reshape(B2, smax)
     seed_bot = bot_s.reshape(B2, smax)
 
-    # pigeonhole half-read search (~ oneMmSearch)
+    # pigeonhole half-read search (~ oneMmSearch): reversed h2 stream is a
+    # prefix of R; reversed h1 stream is R shifted by (len - mid)
     mid = lens2 // 2
     Hmax = Lmax // 2 + 1
-    h1 = jboth[:, :Hmax]
-    idx = jnp.minimum(mid[:, None] + jnp.arange(Hmax, dtype=jnp.int32)[None, :],
-                      Lmax - 1)
-    h2 = jnp.take_along_axis(jboth, idx, axis=1)
-    htop, hbot = fm.substring_search.__wrapped__(
-        half, jnp.concatenate([h1, h2], axis=0),
-        jnp.concatenate([mid, lens2 - mid]))
+    h2r = jnp.where(parange[:, :Hmax] < (lens2 - mid)[:, None],
+                    R[:, :Hmax], 5)
+    h1r = _extract_packed(rpack, (lens2 - mid)[:, None], Hmax)[:, 0, :]
+    h1r = jnp.where(jnp.arange(Hmax, dtype=jnp.int32)[None, :]
+                    < mid[:, None], h1r, 5)
+    htop, hbot = fm.substring_search_rr.__wrapped__(
+        half, jnp.concatenate([h1r, h2r], axis=0))
     half_off = jnp.stack([jnp.zeros(B2, jnp.int32), mid], axis=1)
     half_mlen = jnp.stack([mid, lens2 - mid], axis=1)
     half_top = htop.reshape(2, B2).T
@@ -221,8 +287,9 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         sh_offs = jnp.clip(sh_offs, 0, Lmax - 1)
         sh_valid = jnp.concatenate(
             [offs_all + seed_len <= Lmax] * 2, axis=1)
-        shtop, shbot = fm.seed_search_offsets.__wrapped__(
-            half, jboth, sh_offs, sh_valid, hlen, half_ftab)
+        sh_seeds = _extract_packed(jpack, sh_offs, hlen).reshape(-1, hlen)
+        shtop, shbot = fm.seed_search_exact.__wrapped__(
+            half, sh_seeds, sh_valid.reshape(-1), hlen, half_ftab)
         tops2 = jnp.concatenate(
             [tops2, shtop.reshape(B2, 2 * smax)], axis=1)
         bots2 = jnp.concatenate(
@@ -277,8 +344,11 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     win_start = jnp.where(live_c, c_anchor - G, 0).astype(jnp.int32)
     lo = jnp.take(seg.ref_cum, c_rid).astype(jnp.int32)
     hi = jnp.take(seg.ref_cum, c_rid + 1).astype(jnp.int32)
-    wins = gather_windows.__wrapped__(ref_words, refn_words, win_start,
-                                      lo, hi, W)
+    # word-aligned window gather: the window row begins at win_start & ~31
+    # and the rect's column 0 lives at col_shift (0..31)
+    wins, col_shift = gather_windows_aligned.__wrapped__(
+        ref_words, refn_words, win_start, lo, hi, W)
+    astart = win_start - col_shift
 
     rows_idx = c_or * B + ci_read
     jreads_c = jnp.take(jboth, rows_idx, axis=0)
@@ -286,17 +356,23 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     lens_c = jnp.where(live_c, jnp.take(lens, ci_read), 1)
     rect_cols = lens_c + 2 * G + 1
     res = sw_banded.__wrapped__(jreads_c, jquals_c, lens_c, wins, params,
-                                G, rect_cols)
+                                G, rect_cols, col_shift)
 
-    # ungapped mismatch count on the anchor diagonal (half-candidate gate)
-    diag = wins[:, G:G + Lmax]
-    mm_ug = jnp.sum(((jreads_c != diag) | (jreads_c >= 4))
-                    & (jnp.arange(Lmax)[None, :] < lens_c[:, None]), axis=1)
+    # ungapped mismatch count on the anchor diagonal (half-candidate gate);
+    # the diagonal starts at col_shift + G — resolved by a 32-way select
+    # on the per-row shift instead of a per-element gather
+    read_live = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < lens_c[:, None]
+    mm_ug = jnp.zeros(NC, jnp.int32)
+    for k in range(32):
+        diag_k = jax.lax.dynamic_slice_in_dim(wins, k + G, Lmax, axis=1)
+        mm_k = jnp.sum(((jreads_c != diag_k) | (jreads_c >= 4)) & read_live,
+                       axis=1)
+        mm_ug = jnp.where(col_shift == k, mm_k, mm_ug)
 
     c_score = jnp.where(live_c, res.score, NEG)
     c_valid = live_c & (c_score >= jnp.take(minsc, ci_read)) & \
         ~(c_half & (mm_ug > 1))
-    c_end = win_start + res.lane                                  # end pos
+    c_end = astart + res.lane                                     # end pos
 
     # ---------------- phase 5: per-read ranking ----------------
     # scatter compact results back to (B, T) slots
@@ -339,7 +415,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         jnp.take(wins, ch_ci, axis=0), params, G)
 
     ch_okf = ch_ok.T.reshape(-1)
-    g_start = jnp.take(win_start, ch_ci) + bt.ref_start_win
+    g_start = jnp.take(astart, ch_ci) + bt.ref_start_win
     ch_rid = jnp.take(c_rid, ch_ci)
     roff = g_start - jnp.take(seg.ref_cum, ch_rid)
     meta = jnp.concatenate([

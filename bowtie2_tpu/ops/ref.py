@@ -56,3 +56,53 @@ def gather_windows(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
     pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     oob = (pos < lo[:, None]) | (pos >= hi[:, None])
     return jnp.where(oob, 5, code)
+
+
+def aligned_width(width: int) -> int:
+    """Gathered width of an `gather_windows_aligned` row for a rect width."""
+    return 16 * ((width + 31 + 15) // 16)
+
+
+@partial(jax.jit, static_argnames=("width",))
+def gather_windows_aligned(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
+                           starts: jnp.ndarray, lo: jnp.ndarray,
+                           hi: jnp.ndarray, width: int):
+    """Word-aligned variant of gather_windows: the window begins at
+    `starts & ~31` so the unpacked crumbs/N-bits ARE the window — no
+    per-element realignment gather (take_along_axis costs ~10ns/element on
+    this backend; for 16k x 157 windows that was ~27+27 ms/batch).
+
+    Returns (win, col_shift): win is (B, Wa) codes with Wa =
+    aligned_width(width); the caller's rect columns live at
+    [col_shift, col_shift + width). Positions outside [lo, hi) or outside
+    the rect column span are code 5.
+    """
+    Wa = aligned_width(width)
+    n_words = ref_words.shape[0]
+    # signed &~31 rounds toward -inf, so col_shift stays in [0, 32) even
+    # for windows starting before the reference (those columns go oob)
+    astart = starts & ~jnp.int32(31)
+    col_shift = starts - astart                             # 0..31
+    nw = Wa // 16
+    wstart = astart >> 4
+    widx = jnp.clip(wstart[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
+                    0, n_words - 1)
+    words = jnp.take(ref_words, widx, axis=0)               # (B, nw)
+    code = ((words[:, :, None]
+             >> (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :])
+            & jnp.uint32(3)).astype(jnp.int32).reshape(-1, Wa)
+
+    nn = Wa // 32
+    nidx = jnp.clip((astart >> 5)[:, None]
+                    + jnp.arange(nn, dtype=jnp.int32)[None, :],
+                    0, refn_words.shape[0] - 1)
+    nwords = jnp.take(refn_words, nidx, axis=0)
+    nbits = ((nwords[:, :, None]
+              >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+             & jnp.uint32(1)).astype(jnp.int32).reshape(-1, Wa)
+    code = jnp.where(nbits == 1, 4, code)
+
+    pos = astart[:, None] + jnp.arange(Wa, dtype=jnp.int32)[None, :]
+    oob = (pos < lo[:, None]) | (pos >= hi[:, None]) \
+        | (pos < starts[:, None])
+    return jnp.where(oob, 5, code), col_shift

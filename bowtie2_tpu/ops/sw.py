@@ -80,7 +80,17 @@ class SWResult(NamedTuple):
     score: jnp.ndarray    # (B,) int32 best alignment score
     row: jnp.ndarray      # (B,) int32 row of best end (== read_len-1 for e2e)
     lane: jnp.ndarray     # (B,) int32 lane (diagonal) of best end
-    dirs: jnp.ndarray     # (Lmax, B, W) uint8 traceback directions
+    dirs: jnp.ndarray     # (Lmax, B, ceil(W/8)) int32: traceback directions,
+                          # 8 cells per word, 4 bits each (cell j in word
+                          # j//8 at bit 4*(j%8))
+
+
+def unpack_dirs(dirs_packed, W: int):
+    """(Lmax, B, Wp) packed words → (Lmax, B, W) per-cell uint8 (host/tests)."""
+    import numpy as np
+    d = np.asarray(dirs_packed)
+    cells = (d[:, :, :, None] >> (4 * np.arange(8))[None, None, None, :]) & 15
+    return cells.reshape(d.shape[0], d.shape[1], -1)[:, :, :W].astype(np.uint8)
 
 
 def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +111,8 @@ def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("params", "band"))
 def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
               refwins: jnp.ndarray, params: SWParams, band: int,
-              rect_cols: jnp.ndarray = None) -> SWResult:
+              rect_cols: jnp.ndarray = None,
+              col_lo: jnp.ndarray = None) -> SWResult:
     """Batched rectangle DP.
 
     reads: (B, Lmax) int32 codes 0..4 (4=N); quals: (B, Lmax) int32;
@@ -115,7 +126,7 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
     p = params
     G = band
     B, Lmax = reads.shape
-    W = Lmax + 2 * G + 1
+    W = refwins.shape[1]        # >= Lmax + 2*G + 1 (wider when word-aligned)
     mmpen_t = mm_penalty_from_qual(quals, p).T          # (Lmax, B)
     reads_t = reads.T                                   # (Lmax, B)
     lane_e = jnp.arange(W, dtype=jnp.int32) * p.read_gap_extend
@@ -125,7 +136,14 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
 
     if rect_cols is None:
         rect_cols = read_lens + 2 * G + 1
-    col_ok = (jnp.arange(W, dtype=jnp.int32)[None, :] < rect_cols[:, None])
+    ar = jnp.arange(W, dtype=jnp.int32)[None, :]
+    if col_lo is None:
+        col_ok = ar < rect_cols[:, None]
+    else:
+        # word-aligned windows: rect columns start at col_lo (>= 0); the
+        # window array may be wider than the rect on both sides
+        col_ok = (ar >= col_lo[:, None]) \
+            & (ar < (col_lo + rect_cols)[:, None])
     refwins = jnp.where(col_ok, refwins, 5)
 
     def row_fn(carry, xs):
@@ -187,9 +205,18 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
 
         h_cur = jnp.maximum(h_cur, NEG_INF)   # floor: no int32 underflow drift
 
-        dirbits = (src
-                   | jnp.where(e_from_ext, 4, 0).astype(jnp.uint8)
-                   | jnp.where(f_from_ext, 8, 0).astype(jnp.uint8))
+        dirbits = (src.astype(jnp.int32)
+                   | jnp.where(e_from_ext, 4, 0)
+                   | jnp.where(f_from_ext, 8, 0))
+        # pack 8 cells per int32 word (4 bits each): 2x smaller dirs in HBM
+        # and int32-element (not uint8) transposes in the backtrace prep —
+        # uint8 axis shuffles measured ~10x slower on this backend
+        if W % 8:
+            dirbits = jnp.concatenate(
+                [dirbits, jnp.zeros((B, 8 - W % 8), jnp.int32)], axis=1)
+        packed = jnp.sum(
+            dirbits.reshape(B, -1, 8)
+            << (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :], axis=2)
 
         # best tracking: e2e → only at final row; local → any cell
         row_best = jnp.max(h_cur, axis=1)
@@ -209,7 +236,7 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
 
         h_out = jnp.where(active[:, None], h_cur, h_prev)
         e_out = jnp.where(active[:, None], e_cur, e_prev)
-        return (h_out, e_out, best, best_row, best_lane, i + 1), dirbits
+        return (h_out, e_out, best, best_row, best_lane, i + 1), packed
 
     h0 = jnp.zeros((B, W), jnp.int32)          # free start on row -1, any lane
     e0 = jnp.full((B, W), NEG_INF)
@@ -257,26 +284,29 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
               refwins: jnp.ndarray, params: SWParams, band: int) -> BTResult:
     """Walk chosen candidates' direction matrices on device.
 
-    dirs: (Lmax, B, W) from sw_banded over the FULL candidate batch;
-    sel: (Bc,) indices into that batch; rows/lanes: (Bc,) best-cell coords;
-    reads/quals: (Bc, Lmax) for the selected candidates (already gathered
-    host-side — they're small); refwins: (Bc, Lmax + 2*band).
+    dirs: (Lmax, B, Wp) 4-bit-packed words from sw_banded over the FULL
+    candidate batch; sel: (Bc,) indices into that batch; rows/lanes: (Bc,)
+    best-cell coords; reads/quals: (Bc, Lmax) for the selected candidates;
+    refwins: (Bc, W) with W <= 8*Wp.
     """
     p = params
     G = band
-    Lmax, B, W = dirs.shape
+    Lmax, B, Wp = dirs.shape
+    W = refwins.shape[1]
     Bc = sel.shape[0]
     S = bt_steps(Lmax, W, p.local)
-    # per-candidate flattened (Bc, Lmax*W) layout: the per-step lookup is then
-    # a take_along_axis, which XLA compiles ~200x faster than a flat 1-D
-    # gather over the full dirs buffer (measured: 0.6s vs 135s)
+    # per-candidate flattened (Bc, Lmax*Wp) layout: the per-step lookup is
+    # then a take_along_axis, which XLA compiles ~200x faster than a flat
+    # 1-D gather over the full dirs buffer (measured: 0.6s vs 135s)
     dirs_sel = jnp.take(dirs, sel, axis=1).transpose(1, 0, 2).reshape(Bc, -1)
     mmpen = mm_penalty_from_qual(quals, p)
 
     def step(carry, _):
         i, j, mode, done, nmm, ngo, ngc, nrefn, score, refmin = carry
-        flat = (jnp.clip(i, 0, Lmax - 1) * W + jnp.clip(j, 0, W - 1))[:, None]
-        d = jnp.take_along_axis(dirs_sel, flat, axis=1)[:, 0].astype(jnp.int32)
+        jc = jnp.clip(j, 0, W - 1)
+        flat = (jnp.clip(i, 0, Lmax - 1) * Wp + jc // 8)[:, None]
+        word = jnp.take_along_axis(dirs_sel, flat, axis=1)[:, 0]
+        d = (word >> (4 * (jc % 8))) & 15
         src = d & 3
 
         rc = jnp.take_along_axis(reads, jnp.clip(i, 0, Lmax - 1)[:, None],

@@ -993,6 +993,35 @@ class UnpairedAligner(BatchAligner):
         st = AlignStats()
         out: List[SamAlignment] = []
         n_rank = r_valid.sum(axis=0)
+
+        # ---- batched CIGAR/MD decode (native C; numpy fallback) ----
+        n_rep = np.minimum(np.minimum(n_rank, khits), kk_bt)
+        emit2 = (ch_ok.reshape(kk_bt, Bp).astype(bool)
+                 & (np.arange(kk_bt)[:, None] < n_rep[None, :])
+                 & (~fb.filtered & (np.arange(Bp) < B))[None, :]
+                 & (ch_sccheck == ch_score).reshape(kk_bt, Bp))
+        cis = np.nonzero(emit2.reshape(-1))[0].astype(np.int32)
+        ri_arr = cis % Bp
+        L_arr = fb.lens[ri_arr]
+        codes_n = np.where((ch_or[cis] == 0)[:, None],
+                           fb.fw[ri_arr], fb.rc[ri_arr])
+        bound_n = (ch_rdend[cis] - ch_rdstart[cis]) + ch_ngc[cis] + 1
+        decoded = np.full(Bc, -1, np.int32)
+        decoded[cis] = np.arange(cis.size, dtype=np.int32)
+        try:
+            from bowtie2_tpu.native.samemit import cigar_md_batch
+            cigars, mds = cigar_md_batch(
+                ops, cis, ch_rdstart[cis], ch_rdend[cis], L_arr,
+                bound_n, codes_n)
+        except Exception:
+            cigars, mds = [], []
+            for t, ci in enumerate(cis.tolist()):
+                co, md = cigar_md_from_packed(
+                    ops[:bound_n[t], ci], int(ch_rdstart[ci]),
+                    int(ch_rdend[ci]), int(L_arr[t]),
+                    read=codes_n[t, :L_arr[t]])
+                cigars.append(cigar_string(co))
+                mds.append(md)
         for ri in range(B):
             rec = fb.records[ri]
             st.reads += 1
@@ -1022,27 +1051,14 @@ class UnpairedAligner(BatchAligner):
                     sec = int(r_score[1, ri]) if r_valid[1, ri] else None
                     per = int(fb.perfect[ri]) if pol.local else 0
                     mq = mapq_v2(best, sec, per, int(fb.minsc[ri]), pol.local)
-                if ch_sccheck[ci] != best:
+                di = decoded[ci]
+                if di < 0:
                     continue   # backtrace inconsistency: skip (safety net)
                 orient = int(ch_or[ci])
                 if orient == 0:
                     codes, quals = fb.fw[ri, :L], fb.qu[ri, :L]
                 else:
                     codes, quals = fb.rc[ri, :L], fb.qu_r[ri, :L]
-                read_start, read_end = int(ch_rdstart[ci]), int(ch_rdend[ci])
-                if ch_nmm[ci] == 0 and ch_ngc[ci] == 0 and ch_nrefn[ci] == 0:
-                    span = read_end - read_start
-                    cigar_ops = []
-                    if read_start > 0:
-                        cigar_ops.append(("S", read_start))
-                    cigar_ops.append(("M", span))
-                    if read_end < L:
-                        cigar_ops.append(("S", L - read_end))
-                    md = str(span)
-                else:
-                    bound = (read_end - read_start) + int(ch_ngc[ci]) + 1
-                    cigar_ops, md = cigar_md_from_packed(
-                        ops[:bound, ci], read_start, read_end, L, read=codes)
                 flag = (FLAG_REVERSE if orient else 0) \
                     | (0x100 if n_emitted > 0 else 0)
                 opts = [("AS", "i", best)]
@@ -1053,12 +1069,12 @@ class UnpairedAligner(BatchAligner):
                          ("XO", "i", int(ch_ngo[ci])),
                          ("XG", "i", int(ch_ngc[ci])),
                          ("NM", "i", int(ch_nmm[ci] + ch_ngc[ci])),
-                         ("MD", "Z", md), ("YT", "Z", "UU")]
+                         ("MD", "Z", mds[di]), ("YT", "Z", "UU")]
                 out.append(SamAlignment(
                     qname=rec.name, flag=flag,
                     rname=self.data.ref_names[int(ch_rid[ci])],
                     pos=int(ch_roff[ci]) + 1, mapq=mq,
-                    cigar=cigar_string(cigar_ops),
+                    cigar=cigars[di],
                     seq=decode_seq(codes.astype(np.uint8)).decode(),
                     qual=qual_string(quals), opts=opts))
                 n_emitted += 1
@@ -1145,6 +1161,14 @@ class PairedAligner(BatchAligner):
     """Aligns batches of read pairs: concordant search, mate rescue DP,
     discordant and mixed fallbacks (reference SwDriver::extendSeedsPaired +
     PairedEndPolicy, aligner_sw_driver.cpp / pe.cpp)."""
+
+    # trivial submit/collect so drivers can treat both aligners uniformly
+    # (PE device-side pipelining lands with the fused PE path)
+    def submit(self, pairs):
+        return pairs
+
+    def collect(self, h):
+        return self.align_batch(h) if h else []
 
     def align_batch(self, pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
                     ) -> List[SamAlignment]:

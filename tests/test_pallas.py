@@ -5,7 +5,7 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
-from bowtie2_tpu.ops.sw import SWParams, sw_banded  # noqa: E402
+from bowtie2_tpu.ops.sw import SWParams, sw_banded, unpack_dirs  # noqa: E402
 
 
 @pytest.mark.parametrize("local", [False, True], ids=["e2e", "local"])
@@ -36,4 +36,7 @@ def test_pallas_sw_matches_xla(rng, local):
     np.testing.assert_array_equal(np.asarray(a.score), np.asarray(b_.score))
     np.testing.assert_array_equal(np.asarray(a.row), np.asarray(b_.row))
     np.testing.assert_array_equal(np.asarray(a.lane), np.asarray(b_.lane))
-    np.testing.assert_array_equal(np.asarray(a.dirs), np.asarray(b_.dirs))
+    # XLA path packs dirs 8 cells/int32 word; the pallas kernel emits
+    # per-cell uint8 — unpack before comparing
+    np.testing.assert_array_equal(unpack_dirs(a.dirs, W),
+                                  np.asarray(b_.dirs))

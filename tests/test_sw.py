@@ -6,7 +6,7 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from bowtie2_tpu.ops.sw import SWParams, sw_banded, sw_full_numpy  # noqa: E402
+from bowtie2_tpu.ops.sw import unpack_dirs, SWParams, sw_banded, sw_full_numpy  # noqa: E402
 from bowtie2_tpu.pipeline.backtrace import backtrace_one  # noqa: E402
 
 E2E = SWParams()
@@ -72,7 +72,7 @@ def test_backtrace_score_consistency(rng, params):
     lens = np.full(B, L, np.int32)
     res = sw_banded(jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
                     jnp.asarray(wins), params, G)
-    dirs = np.asarray(res.dirs)
+    dirs = unpack_dirs(res.dirs, wins.shape[1])
     for k in range(B):
         tb = backtrace_one(dirs[:, k], int(res.row[k]), int(res.lane[k]),
                            reads[k], quals[k], wins[k], params)
@@ -93,7 +93,7 @@ def test_perfect_match_and_positions(rng):
     res = sw_banded(jnp.asarray(read[None]), jnp.asarray(quals[None]),
                     jnp.asarray([L], np.int32), jnp.asarray(win[None]), E2E, G)
     assert int(res.score[0]) == 0
-    tb = backtrace_one(np.asarray(res.dirs)[:, 0], int(res.row[0]),
+    tb = backtrace_one(unpack_dirs(res.dirs, win.size)[:, 0], int(res.row[0]),
                        int(res.lane[0]), read, quals, win, E2E)
     assert tb.ops == [("M", L)]
     assert tb.ref_start_win == G
@@ -112,7 +112,7 @@ def test_known_indel_cigar(rng):
                     jnp.asarray([L], np.int32), jnp.asarray(win[None]), E2E, G)
     # score: 2-gap = -(5 + 3*2) = -11
     assert int(res.score[0]) == -11
-    tb = backtrace_one(np.asarray(res.dirs)[:, 0], int(res.row[0]),
+    tb = backtrace_one(unpack_dirs(res.dirs, win.size)[:, 0], int(res.row[0]),
                        int(res.lane[0]), read, quals, win, E2E)
     # deletion placement may shift within equal-score runs; totals must hold
     assert sum(n for op, n in tb.ops if op == "M") == 30
@@ -157,7 +157,7 @@ def test_device_backtrace_matches_host(rng, params):
                    jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(wins),
                    params, G)
     ops_host = np.asarray(bt.ops)
-    dirs = np.asarray(res.dirs)
+    dirs = unpack_dirs(res.dirs, wins.shape[1])
     for k in range(B):
         want = backtrace_one(dirs[:, k], int(res.row[k]), int(res.lane[k]),
                              reads[k], quals[k], wins[k], params)
