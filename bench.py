@@ -51,7 +51,7 @@ def main():
                 handles.append(aligner.submit(chunk))
                 n += len(chunk)
         for h in handles:
-            aligner.collect(h)
+            aligner.collect_raw(h)
         return n
 
     run(UnpairedAligner(data, make_policy("sensitive")))  # warmup/compile

@@ -227,11 +227,20 @@ def cmd_align(argv):
     if args.batch is None:
         args.batch = 2048 if paired else 8192
     aligner = (PairedAligner if paired else UnpairedAligner)(data, pol)
-    out = open(args.out, "w") if args.out else sys.stdout
-    writer = SamWriter(out, data.ref_names, data.ref_lens,
+    # binary output: the unpaired path emits finished line bytes from the
+    # native builder; object records go through a thin text adapter
+    bout = open(args.out, "wb") if args.out else sys.stdout.buffer
+
+    class _TextOut:
+        @staticmethod
+        def write(s):
+            bout.write(s.encode())
+    writer = SamWriter(_TextOut(), data.ref_names, data.ref_lens,
                        prog_args=" ".join(["bt2x align"] + argv),
                        no_head=args.no_head, no_sq=args.no_sq,
                        rg_id=args.rg_id, rg_fields=args.rg)
+    raw_mode = not paired
+    rg_suffix = f"\tRG:Z:{args.rg_id}".encode() if args.rg_id else b""
 
     if not args.unpaired and not paired and not args.bam:
         print("provide -U, -1/-2, -b, --interleaved, --tab5 or --tab6",
@@ -329,26 +338,14 @@ def cmd_align(argv):
 
         def _drain():
             chunk, h = pend.popleft()
-            outs = aligner.collect(h)
-            if met_sink:
-                met_sink.maybe_report()
-            _scatter(chunk, outs)
-
-        def _scatter(chunk, outs):
-            if paired:
+            if raw_mode:
+                outs = aligner.collect_raw(h, rg_suffix)
+            else:
+                outs = aligner.collect(h)
                 # group per pair (secondaries not emitted in PE mode)
                 outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
-            else:
-                grouped, t = [], 0
-                for rec in (window[j] for j in chunk):
-                    grp = [outs[t]]
-                    t += 1
-                    while t < len(outs) and outs[t].qname == rec.name \
-                            and outs[t].flag & 0x100:
-                        grp.append(outs[t])
-                        t += 1
-                    grouped.append(grp)
-                outs = grouped
+            if met_sink:
+                met_sink.maybe_report()
             for j, rec_out in zip(chunk, outs):
                 results[j] = rec_out
 
@@ -359,13 +356,30 @@ def cmd_align(argv):
                 _drain()
         while pend:
             _drain()
-        for i, group in enumerate(results):
-            for r in group:
-                if args.no_unal and (r.flag & FLAG_UNMAPPED):
-                    continue
-                writer.write(r)
-            prim = group[0]
-            if paired:
+        if raw_mode:
+            need_flags = args.no_unal or un_f or al_f
+            if need_flags:
+                for i, group in enumerate(results):
+                    for fl, line in group:
+                        if args.no_unal and (fl & FLAG_UNMAPPED):
+                            continue
+                        bout.write(line)
+                        bout.write(b"\n")
+                    prim_unal = group[0][0] & FLAG_UNMAPPED
+                    if un_f and prim_unal:
+                        write_fastq_record(un_f, window[i])
+                    if al_f and not prim_unal:
+                        write_fastq_record(al_f, window[i])
+            else:
+                bout.write(b"\n".join(
+                    line for group in results for _, line in group))
+                bout.write(b"\n")
+        else:
+            for i, group in enumerate(results):
+                for r in group:
+                    if args.no_unal and (r.flag & FLAG_UNMAPPED):
+                        continue
+                    writer.write(r)
                 conc = all((g.flag & 0x2) for g in group[:2])
                 if unc_f and not conc:
                     for m, g in enumerate(group[:2]):
@@ -373,11 +387,6 @@ def cmd_align(argv):
                 if alc_f and conc:
                     for m, g in enumerate(group[:2]):
                         write_fastq_record(alc_f[m], window[i][m])
-            else:
-                if un_f and (prim.flag & FLAG_UNMAPPED):
-                    write_fastq_record(un_f, window[i])
-                if al_f and not (prim.flag & FLAG_UNMAPPED):
-                    write_fastq_record(al_f, window[i])
         nreads += len(window)
     dt = time.time() - t0
     for f in [un_f, al_f] + (unc_f or []) + (alc_f or []):
@@ -392,7 +401,9 @@ def cmd_align(argv):
         print(f"# {nreads} {'pairs' if paired else 'reads'} in {dt:.1f}s = "
               f"{nreads/max(dt,1e-9):.0f} /s", file=sys.stderr)
     if args.out:
-        out.close()
+        bout.close()
+    else:
+        bout.flush()
     return 0
 
 

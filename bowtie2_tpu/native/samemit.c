@@ -179,3 +179,127 @@ int cigar_md_batch(const uint8_t *ops, int64_t S, int64_t Bc,
     }
     return bad;
 }
+
+/* ---------------- full SAM line assembly ---------------- */
+
+static const char SEQ_CHARS[16] = "ACGTN???????????";
+
+static inline char *put_i32(char *p, int32_t v) {
+    if (v < 0) { *p++ = '-'; return put_u32(p, (uint32_t)(-(int64_t)v)); }
+    return put_u32(p, (uint32_t)v);
+}
+
+/* Build SAM line tails (everything after QNAME) for n records.
+ *
+ * mode[r]: 0 = unaligned, 1 = aligned, 2 = unaligned w/ YF:Z:NS.
+ * rname_i[r]: index into the refnames table (aligned records).
+ * opt_xs[r]: INT32_MIN means "omit XS".
+ * codes/quals: (n, Lmax) oriented read codes / phred quals.
+ * ops/cols/...: backtrace op columns for aligned records (see
+ * cigar_md_batch). suffix: constant tail appended to every line (e.g.
+ * "\tRG:Z:grp"). out: (n, stride) char rows; outlen[r] = bytes written.
+ * Returns number of records that overflowed their row (their len = 0). */
+int sam_tails_batch(const int8_t *mode,
+                    const int32_t *flag, const int32_t *rname_i,
+                    const int32_t *pos, const int32_t *mapq,
+                    const int32_t *opt_as, const int32_t *opt_xs,
+                    const int32_t *xn, const int32_t *xm,
+                    const int32_t *xo, const int32_t *xg,
+                    const int8_t *codes, const int8_t *quals,
+                    const int32_t *rdlen, int64_t Lmax,
+                    const uint8_t *ops, int64_t S, int64_t Bc,
+                    const int32_t *cols, const int32_t *read_start,
+                    const int32_t *read_end, const int32_t *bound,
+                    const char *names, const int32_t *name_off,
+                    const char *suffix, int64_t n,
+                    char *out, int64_t stride, int32_t *outlen) {
+    enum { MAXOPS = 32768 };
+    uint8_t opsk[MAXOPS], refc[MAXOPS], ismatch[MAXOPS];
+    static char cig[4 * MAXOPS + 64], md[4 * MAXOPS + 64];
+    int bad = 0;
+    size_t suffix_len = strlen(suffix);
+    for (int64_t r = 0; r < n; r++) {
+        char *p = out + r * stride;
+        char *pend = p + stride - 80 - suffix_len;
+        int L = rdlen[r];
+        if (2 * L + 160 + (int)suffix_len > stride) { outlen[r] = 0; bad++; continue; }
+        *p++ = '\t';
+        p = put_i32(p, flag[r]); *p++ = '\t';
+        if (mode[r] == 1) {
+            const char *nm = names + name_off[rname_i[r]];
+            size_t nl = name_off[rname_i[r] + 1] - name_off[rname_i[r]];
+            memcpy(p, nm, nl); p += nl; *p++ = '\t';
+            p = put_i32(p, pos[r]); *p++ = '\t';
+            p = put_i32(p, mapq[r]); *p++ = '\t';
+            int b = bound[r] < (int)S ? bound[r] : (int)S;
+            if (b > MAXOPS ||
+                decode_one(ops + cols[r], Bc, b, read_start[r], read_end[r],
+                           L, codes + r * Lmax, opsk, refc, ismatch,
+                           cig, sizeof cig, md, sizeof md) != 0) {
+                outlen[r] = 0; bad++; continue;
+            }
+            size_t cl = strlen(cig);
+            if (p + cl + strlen(md) + 2 * L + 120 > pend) { outlen[r] = 0; bad++; continue; }
+            memcpy(p, cig, cl); p += cl;
+            memcpy(p, "\t*\t0\t0\t", 7); p += 7;
+        } else {
+            memcpy(p, "*\t0\t0\t*\t*\t0\t0\t", 14); p += 14;
+        }
+        const int8_t *cd = codes + r * Lmax;
+        for (int k = 0; k < L; k++) *p++ = SEQ_CHARS[cd[k] & 15];
+        *p++ = '\t';
+        const int8_t *q = quals + r * Lmax;
+        for (int k = 0; k < L; k++) *p++ = (char)(q[k] + 33);
+        if (mode[r] == 1) {
+            memcpy(p, "\tAS:i:", 6); p += 6;
+            p = put_i32(p, opt_as[r]);
+            if (opt_xs[r] != INT32_MIN) {
+                memcpy(p, "\tXS:i:", 6); p += 6;
+                p = put_i32(p, opt_xs[r]);
+            }
+            memcpy(p, "\tXN:i:", 6); p += 6; p = put_i32(p, xn[r]);
+            memcpy(p, "\tXM:i:", 6); p += 6; p = put_i32(p, xm[r]);
+            memcpy(p, "\tXO:i:", 6); p += 6; p = put_i32(p, xo[r]);
+            memcpy(p, "\tXG:i:", 6); p += 6; p = put_i32(p, xg[r]);
+            memcpy(p, "\tNM:i:", 6); p += 6; p = put_i32(p, xm[r] + xg[r]);
+            memcpy(p, "\tMD:Z:", 6); p += 6;
+            size_t ml = strlen(md); memcpy(p, md, ml); p += ml;
+            memcpy(p, "\tYT:Z:UU", 8); p += 8;
+        } else {
+            memcpy(p, "\tYT:Z:UU", 8); p += 8;
+            if (mode[r] == 2) { memcpy(p, "\tYF:Z:NS", 8); p += 8; }
+        }
+        memcpy(p, suffix, suffix_len); p += suffix_len;
+        outlen[r] = (int32_t)(p - (out + r * stride));
+    }
+    return bad;
+}
+
+/* ---------------- read padding ---------------- */
+
+/* Scatter concatenated read codes/quals into padded (B, Lmax) batch
+ * arrays + build reverse complements. Replaces the numpy fancy-index
+ * scatter in pipeline/align.py pad_reads (~115ms/10k reads -> ~3ms). */
+void pad_reads_c(const int8_t *allseq, const int8_t *allq,
+                 const int64_t *starts, const int32_t *lens,
+                 int64_t B, int64_t Lmax,
+                 int8_t *fw, int8_t *qu, int8_t *rc, int8_t *qu_r) {
+    for (int64_t b = 0; b < B; b++) {
+        int64_t L = lens[b];
+        const int8_t *s = allseq + starts[b];
+        const int8_t *q = allq + starts[b];
+        int8_t *f = fw + b * Lmax, *fq = qu + b * Lmax;
+        int8_t *r = rc + b * Lmax, *rq = qu_r + b * Lmax;
+        memcpy(f, s, L);
+        memset(f + L, 4, Lmax - L);
+        memcpy(fq, q, L);
+        memset(fq + L, 0, Lmax - L);
+        for (int64_t k = 0; k < L; k++) {
+            int8_t c = s[L - 1 - k];
+            r[k] = c < 4 ? (int8_t)(3 - c) : (int8_t)4;
+            rq[k] = q[L - 1 - k];
+        }
+        memset(r + L, 4, Lmax - L);
+        memset(rq + L, 0, Lmax - L);
+    }
+}

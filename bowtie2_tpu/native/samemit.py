@@ -64,3 +64,86 @@ def cigar_md_batch(ops: np.ndarray, cols: np.ndarray,
         o = r * md_stride
         mds.append(raw_m[o:raw_m.index(b"\0", o)].decode("ascii"))
     return cigars, mds
+
+
+_lib.sam_tails_batch.restype = ctypes.c_int
+_lib.sam_tails_batch.argtypes = [
+    _i8p,                                   # mode
+    _i32p, _i32p, _i32p, _i32p,             # flag rname pos mapq
+    _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,  # as xs xn xm xo xg
+    _i8p, _i8p, _i32p, ctypes.c_int64,      # codes quals rdlen Lmax
+    _u8p, ctypes.c_int64, ctypes.c_int64,   # ops S Bc
+    _i32p, _i32p, _i32p, _i32p,             # cols read_start read_end bound
+    ctypes.c_char_p, _i32p,                 # names name_off
+    ctypes.c_char_p, ctypes.c_int64,        # suffix n
+    ctypes.c_char_p, ctypes.c_int64, _i32p,  # out stride outlen
+]
+
+XS_OMIT = -(1 << 31)
+
+
+class RefNameTable:
+    """Refnames flattened for the C line builder (built once per index)."""
+
+    def __init__(self, names):
+        offs = [0]
+        blob = bytearray()
+        for s in names:
+            blob.extend(s.encode())
+            offs.append(len(blob))
+        self.blob = bytes(blob)
+        self.offs = np.array(offs, np.int32)
+
+
+def sam_tails_batch(mode, flag, rname_i, pos, mapq, opt_as, opt_xs,
+                    xn, xm, xo, xg, codes, quals, rdlen,
+                    ops, cols, read_start, read_end, bound,
+                    names: RefNameTable, suffix: bytes):
+    """Build SAM line tails (everything after QNAME) for n records.
+
+    Returns a list of bytes objects (one per record)."""
+    n = int(flag.size)
+    if n == 0:
+        return []
+    ops = np.ascontiguousarray(ops)
+    codes = np.ascontiguousarray(codes, np.int8)
+    quals = np.ascontiguousarray(quals, np.int8)
+    Lmax = codes.shape[1]
+    stride = 8 * Lmax + 512
+    out = ctypes.create_string_buffer(n * stride)
+    outlen = np.zeros(n, np.int32)
+    a32 = lambda x: np.ascontiguousarray(x, np.int32)
+    bad = _lib.sam_tails_batch(
+        np.ascontiguousarray(mode, np.int8),
+        a32(flag), a32(rname_i), a32(pos), a32(mapq),
+        a32(opt_as), a32(opt_xs), a32(xn), a32(xm), a32(xo), a32(xg),
+        codes, quals, a32(rdlen), Lmax,
+        ops, ops.shape[0], ops.shape[1],
+        a32(cols), a32(read_start), a32(read_end), a32(bound),
+        names.blob, names.offs, suffix, n, out, stride, outlen)
+    if bad:
+        raise RuntimeError(f"sam_tails_batch: {bad} records overflowed")
+    raw = out.raw
+    return [raw[r * stride:r * stride + outlen[r]] for r in range(n)]
+
+
+_lib.pad_reads_c.restype = None
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_lib.pad_reads_c.argtypes = [
+    _i8p, _i8p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int64,
+    _i8p, _i8p, _i8p, _i8p,
+]
+
+
+def pad_reads_c(allseq, allq, starts, lens, B, Lmax):
+    """Native batch padding: → (fw, qu, rc, qu_r) int8 (B, Lmax) arrays."""
+    fw = np.empty((B, Lmax), np.int8)
+    qu = np.empty((B, Lmax), np.int8)
+    rc = np.empty((B, Lmax), np.int8)
+    qu_r = np.empty((B, Lmax), np.int8)
+    _lib.pad_reads_c(np.ascontiguousarray(allseq, np.int8),
+                     np.ascontiguousarray(allq, np.int8),
+                     np.ascontiguousarray(starts, np.int64),
+                     np.ascontiguousarray(lens, np.int32),
+                     B, Lmax, fw, qu, rc, qu_r)
+    return fw, qu, rc, qu_r

@@ -136,21 +136,32 @@ class AlignStats:
 
 
 def pad_reads(records: Sequence[SeqRecord], Lmax: int):
-    """Vectorized padding: → (fw, qu, rc, qu_r, lens), arrays (B, Lmax) int8
+    """Batch padding: → (fw, qu, rc, qu_r, lens), arrays (B, Lmax) int8
     (4x cheaper host→device transfers; kernels upcast on device).
 
-    Pad code is 4 (N) for sequence, 0 for quals.
+    Pad code is 4 (N) for sequence, 0 for quals. Native C scatter with a
+    numpy fallback.
     """
     B = len(records)
     lens = np.array([r.seq.size for r in records], dtype=np.int32)
+    if B == 0:
+        return (np.full((0, Lmax), 4, np.int8), np.zeros((0, Lmax), np.int8),
+                np.full((0, Lmax), 4, np.int8), np.zeros((0, Lmax), np.int8),
+                lens)
+    allseq = np.concatenate([r.seq for r in records]).astype(np.int8)
+    allq = np.concatenate([r.qual for r in records]).astype(np.int8)
+    try:
+        from bowtie2_tpu.native.samemit import pad_reads_c
+        starts = np.zeros(B, np.int64)
+        starts[1:] = np.cumsum(lens[:-1], dtype=np.int64)
+        fw, qu, rc, qu_r = pad_reads_c(allseq, allq, starts, lens, B, Lmax)
+        return fw, qu, rc, qu_r, lens
+    except ImportError:
+        pass
     fw = np.full((B, Lmax), 4, dtype=np.int8)
     qu = np.zeros((B, Lmax), dtype=np.int8)
     rc = np.full((B, Lmax), 4, dtype=np.int8)
     qu_r = np.zeros((B, Lmax), dtype=np.int8)
-    if B == 0:
-        return fw, qu, rc, qu_r, lens
-    allseq = np.concatenate([r.seq for r in records]).astype(np.int8)
-    allq = np.concatenate([r.qual for r in records]).astype(np.int8)
     row = np.repeat(np.arange(B), lens)
     col = np.arange(allseq.size) - np.repeat(np.cumsum(lens) - lens, lens)
     rcol = np.repeat(lens, lens) - 1 - col
@@ -1091,6 +1102,141 @@ class UnpairedAligner(BatchAligner):
 
     def align_batch(self, records: Sequence[SeqRecord]) -> List[SamAlignment]:
         return self.collect(self.submit(records))
+
+    def collect_raw(self, fb: Optional[FusedBatch], suffix: bytes = b""
+                    ) -> List[List[Tuple[int, bytes]]]:
+        """collect(), but emit finished SAM line bytes via the native line
+        builder instead of SamAlignment objects: one group per read, each
+        entry (flag, line). ~10x less host Python per record; the CLI's
+        default unpaired path. `suffix` is appended to every line (RG)."""
+        if fb is None:
+            return []
+        from bowtie2_tpu.native.samemit import (RefNameTable, XS_OMIT,
+                                                sam_tails_batch)
+        from bowtie2_tpu.ops.fused import CHOSEN_FIELDS
+        import time as _time
+        _t = _time.time()
+        pol = self.pol
+        B, Bp, kk, kk_bt, S = fb.B, fb.Bp, fb.kk, fb.kk_bt, fb.S
+        Bc = Bp * kk_bt
+        blob = np.asarray(fb.blob)
+        self.metrics.add(t_dp=_time.time() - _t)
+        _t = _time.time()
+        ops = blob[:S * Bc].reshape(S, Bc)
+        meta = blob[S * Bc:].view(np.int32)
+        r_score = meta[:kk * Bp].reshape(kk, Bp)
+        r_valid = meta[kk * Bp:2 * kk * Bp].reshape(kk, Bp) != 0
+        ch = meta[2 * kk * Bp:2 * kk * Bp + CHOSEN_FIELDS * Bc]\
+            .reshape(CHOSEN_FIELDS, Bc)
+        (ch_ok, ch_or, ch_rid, ch_roff, ch_rdstart, ch_rdend, ch_nmm,
+         ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
+        if int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc]) > 0:
+            out = self._align_batch_host(fb.records)   # rare overflow
+            groups, t = [], 0
+            for rec in fb.records:
+                grp = [(out[t].flag, out[t].line().encode() + suffix)]
+                t += 1
+                while t < len(out) and out[t].qname == rec.name \
+                        and out[t].flag & 0x100:
+                    grp.append((out[t].flag, out[t].line().encode() + suffix))
+                    t += 1
+                groups.append(grp)
+            return groups
+
+        khits = 10**9 if pol.all_hits else pol.khits
+        n_rank = r_valid.sum(axis=0)
+        n_rep = np.minimum(np.minimum(n_rank, khits), kk_bt)
+        live_col = ~fb.filtered & (np.arange(Bp) < B)
+        emit2 = (ch_ok.reshape(kk_bt, Bp).astype(bool)
+                 & (np.arange(kk_bt)[:, None] < n_rep[None, :])
+                 & live_col[None, :]
+                 & (ch_sccheck == ch_score).reshape(kk_bt, Bp))
+        n_emit = emit2.sum(axis=0)
+        unal = (np.arange(Bp) < B) & (n_emit == 0)
+
+        # record table: aligned records (ci order) then unaligned reads
+        cis = np.nonzero(emit2.reshape(-1))[0].astype(np.int32)
+        ri_al = cis % Bp
+        j_al = cis // Bp
+        ri_un = np.nonzero(unal)[0].astype(np.int32)
+        nal, nun = cis.size, ri_un.size
+        ri_all = np.concatenate([ri_al, ri_un])
+        L_all = fb.lens[ri_all]
+        orient = np.zeros(nal + nun, np.int32)
+        orient[:nal] = ch_or[cis]
+        codes_n = np.where((orient == 0)[:, None],
+                           fb.fw[ri_all], fb.rc[ri_all])
+        quals_n = np.where((orient == 0)[:, None],
+                           fb.qu[ri_all], fb.qu_r[ri_all])
+
+        mode = np.zeros(nal + nun, np.int8)
+        mode[:nal] = 1
+        mode[nal:] = np.where(fb.filtered[ri_un], 2, 0)
+        flag = np.zeros(nal + nun, np.int32)
+        flag[:nal] = (orient[:nal] != 0) * 0x10 + (j_al > 0) * 0x100
+        flag[nal:] = FLAG_UNMAPPED
+
+        # MAPQ + XS (khits == 1) / 255 (k/a mode)
+        mapq = np.full(nal + nun, 255, np.int32)
+        xs = np.full(nal + nun, XS_OMIT, np.int32)
+        if khits == 1:
+            has2 = r_valid[1] if kk > 1 else np.zeros(Bp, bool)
+            for t in range(nal):
+                ri = ri_al[t]
+                sec = int(r_score[1, ri]) if has2[ri] else None
+                per = int(fb.perfect[ri]) if pol.local else 0
+                mapq[t] = mapq_v2(int(ch_score[cis[t]]), sec, per,
+                                  int(fb.minsc[ri]), pol.local)
+                if sec is not None:
+                    xs[t] = sec
+        else:
+            has2 = r_valid[1] if kk > 1 else np.zeros(Bp, bool)
+            first = j_al == 0
+            xs[:nal] = np.where(first & has2[ri_al], r_score[1, ri_al]
+                                if kk > 1 else XS_OMIT, XS_OMIT)
+
+        if self._names_tab is None:
+            self._names_tab = RefNameTable(self.data.ref_names)
+        z = np.zeros(nal + nun, np.int32)
+        tails = sam_tails_batch(
+            mode, flag, np.concatenate([ch_rid[cis], z[nal:]]),
+            np.concatenate([ch_roff[cis] + 1, z[nal:]]), mapq,
+            np.concatenate([ch_score[cis], z[nal:]]), xs,
+            np.concatenate([ch_nrefn[cis], z[nal:]]),
+            np.concatenate([ch_nmm[cis], z[nal:]]),
+            np.concatenate([ch_ngo[cis], z[nal:]]),
+            np.concatenate([ch_ngc[cis], z[nal:]]),
+            codes_n, quals_n, L_all, ops,
+            np.concatenate([cis, z[nal:]]),
+            np.concatenate([ch_rdstart[cis], z[nal:]]),
+            np.concatenate([ch_rdend[cis], z[nal:]]),
+            np.concatenate([(ch_rdend[cis] - ch_rdstart[cis])
+                            + ch_ngc[cis] + 1, z[nal:]]),
+            self._names_tab, suffix)
+
+        # group per read, aligned ranks ascending
+        groups: List[List[Tuple[int, bytes]]] = [[] for _ in range(B)]
+        for t in range(nal):
+            groups[ri_al[t]].append(
+                (int(flag[t]),
+                 fb.records[ri_al[t]].name.encode() + tails[t]))
+        for t in range(nun):
+            groups[ri_un[t]].append(
+                (int(flag[nal + t]),
+                 fb.records[ri_un[t]].name.encode() + tails[nal + t]))
+
+        st = AlignStats()
+        st.reads = B
+        st.filtered = int(fb.filtered[:B].sum())
+        st.unal = int(unal.sum())
+        multi = (n_emit > 0) & (n_rank > 1) & live_col
+        st.al_multi = int(multi.sum())
+        st.al_one = int(((n_emit > 0) & ~multi).sum())
+        self._merge_stats(st)
+        self.metrics.add(t_host=_time.time() - _t)
+        return groups
+
+    _names_tab = None
 
     def _align_batch_host(self, records: Sequence[SeqRecord]
                           ) -> List[SamAlignment]:

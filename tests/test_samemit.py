@@ -73,3 +73,26 @@ def test_native_matches_numpy(rng):
         co, md = cigar_md_from_packed(ops[:, i], a, b, L, read=read)
         assert cigars[i] == cigar_string(co), (i, cigars[i], cigar_string(co))
         assert mds[i] == md, (i, mds[i], md)
+
+
+def test_collect_raw_matches_objects(rng):
+    """collect_raw's native-built lines == SamAlignment.line() for the
+    same batch (lambda subset, e2e + local)."""
+    import itertools
+    from bowtie2_tpu.index.build import build_index
+    from bowtie2_tpu.io.fastx import iter_reads
+    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    from bowtie2_tpu.pipeline.policy import make_policy
+
+    data = build_index("/root/reference/example/reference/lambda_virus.fa")
+    records = list(itertools.islice(
+        iter_reads("/root/reference/example/reads/reads_1.fq"), 384))
+    for local in (False, True):
+        al = UnpairedAligner(data, make_policy("sensitive", local=local))
+        objs = al.align_batch(records)
+        groups = al.collect_raw(al.submit(records))
+        flat = [(fl, ln) for g in groups for fl, ln in g]
+        assert len(flat) == len(objs)
+        for (fl, line), o in zip(flat, objs):
+            assert fl == o.flag
+            assert line.decode() == o.line(), (line, o.line())
