@@ -319,12 +319,18 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     anchor = gpos - slot_off.astype(jnp.int32)
     rid = jnp.searchsorted(seg.ref_cum, gpos, side="right") - 1
 
-    # dedupe by (orient, anchor) within each read, keep first slot
+    # dedupe by (orient, anchor) within each read, keep first slot; source
+    # flags aggregate across the duplicate group (an anchor discoverable
+    # via a seed is exempt from the half-candidate 1-mismatch gate)
     same = (slot_or[:, :, None] == slot_or[:, None, :]) & \
            (anchor[:, :, None] == anchor[:, None, :]) & \
            slot_valid[:, :, None] & slot_valid[:, None, :]
     earlier = jnp.arange(T)[None, :, None] > jnp.arange(T)[None, None, :]
     dup = (same & earlier).any(axis=2)
+    seed_src = slot_valid & ~slot_half & ~slot_exact
+    half_only = (same & slot_half[:, None, :]).any(axis=2) \
+        & ~(same & seed_src[:, None, :]).any(axis=2) \
+        & ~(same & slot_exact[:, None, :]).any(axis=2)
     slot_valid &= ~dup
 
     # ---------------- phase 4: compact -> windows -> DP ----------------
@@ -339,7 +345,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     c_anchor = anchor[ci_read, ci_slot]
     c_or = slot_or[ci_read, ci_slot]
     c_rid = jnp.where(live_c, rid[ci_read, ci_slot], 0)
-    c_half = slot_half[ci_read, ci_slot] & live_c
+    c_half = half_only[ci_read, ci_slot] & live_c
 
     win_start = jnp.where(live_c, c_anchor - G, 0).astype(jnp.int32)
     lo = jnp.take(seg.ref_cum, c_rid).astype(jnp.int32)

@@ -219,6 +219,13 @@ class CandSet:
     valid: np.ndarray = None
     end_pos: np.ndarray = None
     pool: Optional[DPPool] = None
+    cand_exact: np.ndarray = None    # candidate from exact end-to-end hit
+    cand_half: np.ndarray = None     # candidate from half-read (1mm) range
+    cand_rangej: np.ndarray = None   # source range id (width-sorted index;
+                                     # -2/-1 for exact fw/rc)
+    cand_rwidth: np.ndarray = None   # SA width of the source range
+    ee_elts: np.ndarray = None       # (2B,) exact end-to-end elements/orient
+    inst0: np.ndarray = None         # (2B,) round-0 N-free instantiated seeds
 
 
 class BatchAligner:
@@ -307,7 +314,7 @@ class BatchAligner:
             hb = B // 2
             okm = ~filtered
             ival_boost = okm & np.roll(okm, hb)
-        seed_or, seed_off, seed_mlen, seed_tb_d, sshape = \
+        seed_or, seed_off, seed_mlen, seed_tb_d, sshape, cs.inst0 = \
             self._seed_search(fw, rc, lens, ival_boost)
         half_off, half_mlen, half_tb_d = self._half_search(
             both, both_lens, cs.jboth)
@@ -320,6 +327,8 @@ class BatchAligner:
             sh_off, sh_mlen, sh_tb_d = self._seed_half_search(
                 fw, rc, seed_off, seed_or)
         sw_top, sw_bot, sw_ned = np.asarray(sweep_d)
+        cs.ee_elts = np.where((sw_ned == 0) & (sw_bot > sw_top),
+                              sw_bot - sw_top, 0)
         st_bt = np.asarray(seed_tb_d)
         seed_top = st_bt[0, :sshape[0]].reshape(sshape[1], sshape[2])
         seed_bot = st_bt[1, :sshape[0]].reshape(sshape[1], sshape[2])
@@ -352,7 +361,7 @@ class BatchAligner:
 
         # phase 3: rank + resolve
         (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
-         cand_half) = \
+         cand_half, cand_rangej, cand_rwidth) = \
             self._assemble_candidates(B, lens, filtered, sw_top, sw_bot,
                                       sw_ned, seed_off, seed_top,
                                       seed_bot, seed_mlen, seed_half)
@@ -374,9 +383,10 @@ class BatchAligner:
         seg = np.searchsorted(self.data.seg_joined_start, jpos,
                               side="right") - 1
         ok = jpos + cand_mlen <= self._seg_end_joined[seg]
-        cand_read, cand_or, cand_off, cand_exact, cand_half, jpos, seg = (
+        (cand_read, cand_or, cand_off, cand_exact, cand_half, cand_rangej,
+         cand_rwidth, jpos, seg) = (
             a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,
-                            cand_half, jpos, seg))
+                            cand_half, cand_rangej, cand_rwidth, jpos, seg))
 
         self.metrics.add(t_resolve=_time.time() - _t,
                          sa_resolves=int(jpos.size))
@@ -389,11 +399,26 @@ class BatchAligner:
         # dedupe by (read, orient, anchor); canonical order keeps exacts
         key = (cand_read.astype(np.int64) * 2 + cand_or) * (1 << 40) \
             + (anchor + (1 << 35))
-        _, first_idx = np.unique(key, return_index=True)
-        first_idx.sort()
-        cand_read, cand_or, cand_exact, cand_half, anchor, rid = (
-            a[first_idx] for a in (cand_read, cand_or, cand_exact,
-                                   cand_half, anchor, rid))
+        uniq, first_raw, inv = np.unique(key, return_index=True,
+                                         return_inverse=True)
+        # aggregate source flags across the duplicate group: an anchor
+        # discoverable via a seed is not subject to the half-candidate
+        # (1-mismatch upfront) admission gate, and the -D effort model
+        # assigns each anchor to the EARLIEST phase that discovers it
+        g_exact = np.zeros(uniq.size, bool)
+        np.logical_or.at(g_exact, inv, cand_exact)
+        g_half = np.zeros(uniq.size, bool)
+        np.logical_or.at(g_half, inv, cand_half)
+        g_seed = np.zeros(uniq.size, bool)
+        np.logical_or.at(g_seed, inv, ~cand_exact & ~cand_half)
+        first_idx = np.sort(first_raw)
+        grp = inv[first_idx]
+        (cand_read, cand_or, cand_rangej, cand_rwidth, anchor, rid) = (
+            a[first_idx] for a in (cand_read, cand_or, cand_rangej,
+                                   cand_rwidth, anchor, rid))
+        cand_exact = g_exact[grp]
+        cand_half = g_half[grp]
+        cand_half_only = cand_half & ~g_seed[grp] & ~cand_exact
 
         # phase 4: windows + DP
         n_cand = anchor.size
@@ -406,7 +431,7 @@ class BatchAligner:
         # 1-mismatch search (oneMmSearch): only admit them when the implied
         # end-to-end ungapped alignment has <= 1 mismatch, so sensitivity
         # matches the reference's.
-        valid &= ~(cand_half & (pool.mm_ug > 1))
+        valid &= ~(cand_half_only & (pool.mm_ug > 1))
 
         self.metrics.add(
             t_dp=_time.time() - _t, dp_problems=n_cand,
@@ -419,6 +444,10 @@ class BatchAligner:
         cs.valid = valid
         cs.end_pos = pool.end_pos(np.arange(n_cand))
         cs.pool = pool
+        cs.cand_exact = cand_exact
+        cs.cand_half = cand_half
+        cs.cand_rangej = cand_rangej
+        cs.cand_rwidth = cand_rwidth
         return cs
 
     def _run_dp(self, win_start, rid, read_idx, orient, jboth, jquals,
@@ -655,6 +684,19 @@ class BatchAligner:
         valid_all = np.concatenate([valid_off, valid_off], axis=0)
         return offs_all, valid_all
 
+    def _inst_counts(self, both, offs_all, valid_all):
+        """# seeds per row surviving the N filter (reference
+        instantiateSeeds skips seeds whose window contains N,
+        aligner_seed.cpp:498). both: (2B, Lmax) codes."""
+        slen = self.pol.seed_len
+        B2, Lmax = both.shape
+        cumn = np.zeros((B2, Lmax + 1), np.int32)
+        cumn[:, 1:] = np.cumsum(both >= 4, axis=1)
+        o = np.clip(offs_all, 0, max(Lmax - slen, 0))
+        nwin = np.take_along_axis(cumn, o + slen, axis=1) \
+            - np.take_along_axis(cumn, o, axis=1)
+        return (valid_all & (nwin == 0)).sum(axis=1)
+
     def _seed_search(self, fw, rc, lens, ival_boost=None):
         """Search instantiated seeds for both orientations (device).
 
@@ -675,7 +717,8 @@ class BatchAligner:
         orient = np.repeat(np.array([0, 1]), B)[:, None] * np.ones((1, smax), np.int32)
         mlen = np.full_like(offs_all, slen)
         return (orient.astype(np.int32), offs_all, mlen,
-                jnp.stack([top, bot]), (2 * B * smax, 2 * B, smax))
+                jnp.stack([top, bot]), (2 * B * smax, 2 * B, smax),
+                self._inst_counts(both, offs_all, valid_all))
 
     def _half_search(self, both, both_lens, jboth=None):
         """Pigeonhole half-read exact search (replaces the reference's
@@ -779,6 +822,8 @@ class BatchAligner:
             if tot:
                 r_ids = np.repeat(np.arange(B), t_or)
                 d = np.arange(tot) - np.repeat(np.cumsum(t_or) - t_or, t_or)
+                ex_full = (sw_bot[oi * B:oi * B + B]
+                           - sw_top[oi * B:oi * B + B])[r_ids]
                 parts.append((r_ids, np.full(tot, oi, np.int64),
                               np.zeros(tot, np.int64),
                               (sw_top[oi * B:oi * B + B][r_ids] + d).astype(np.int32),
@@ -786,7 +831,9 @@ class BatchAligner:
                               lens[r_ids].astype(np.int64),
                               np.zeros(tot, bool),
                               np.full(tot, -2 + oi, np.int64),  # phase key
-                              d))
+                              d,
+                              np.full(tot, -2 + oi, np.int64),  # range id
+                              ex_full.astype(np.int64)))        # range width
         nf = n.reshape(-1)
         tot = int(nf.sum())
         if tot:
@@ -801,16 +848,20 @@ class BatchAligner:
                           mlens[flat_read, flat_j].astype(np.int64),
                           halfs[flat_read, flat_j],
                           d,                              # phase key: depth
-                          flat_j))
+                          flat_j,
+                          flat_j.astype(np.int64),        # range id
+                          w[flat_read, flat_j].astype(np.int64)))
         if not parts:
             z = np.zeros(0, np.int64)
             return (z, z.copy(), z.copy(), np.zeros(0, np.int32),
-                    np.zeros(0, bool), z.copy(), np.zeros(0, bool))
-        cat = [np.concatenate([p[i] for p in parts]) for i in range(9)]
+                    np.zeros(0, bool), z.copy(), np.zeros(0, bool),
+                    z.copy(), z.copy())
+        cat = [np.concatenate([p[i] for p in parts]) for i in range(11)]
         key_order = np.lexsort((cat[8], cat[7], cat[0]))
         return (cat[0][key_order], cat[1][key_order].astype(np.int64),
                 cat[2][key_order], cat[3][key_order],
-                cat[4][key_order], cat[5][key_order], cat[6][key_order])
+                cat[4][key_order], cat[5][key_order], cat[6][key_order],
+                cat[9][key_order], cat[10][key_order])
 
     def _assemble_candidates_ref(self, B, lens, filtered, sw_top, sw_bot, sw_ned,
                              seed_off, seed_top, seed_bot, seed_mlen,
@@ -1339,7 +1390,12 @@ class PairedAligner(BatchAligner):
             scores = np.zeros(0, np.int64)
 
         # ---- pairing pass 1: cross products of per-mate candidates ----
-        conc: Dict[int, List[Tuple[int, int, int]]] = {}
+        # Every concordant (k1, k2) classification; anchors that pair with
+        # SOME valid opposite candidate are "successful attempts" for the
+        # -D effort model below (the reference's mate-window DP would have
+        # found that partner, aligner_sw_driver.cpp:2310).
+        conc_raw: Dict[int, List[Tuple[int, int, int]]] = {}
+        succ_cross: set = set()
         for i in range(B):
             l1 = ranked.get(i, [])
             l2 = ranked.get(B + i, [])
@@ -1355,9 +1411,39 @@ class PairedAligner(BatchAligner):
                         pol.minins, pol.maxins)
                     if typ != PE_DISCORD:
                         combos.append((int(scores[k1] + scores[k2]), k1, k2))
+                        succ_cross.add(k1)
+                        succ_cross.add(k2)
             if combos:
                 combos.sort(key=lambda c: -c[0])
-                conc[i] = combos
+                conc_raw[i] = combos
+
+        # ---- -D fail-streak effort model (pe_effort.py) ----
+        # seed-round suppression: mate with fewer exact-sweep elements
+        # anchors first (bt2_search.cpp:3537-3541); if it instantiates no
+        # N-free seeds the round's `break` skips the other mate's seeding
+        B2 = 2 * B
+        ee = cs.ee_elts[:B2] + cs.ee_elts[B2:]
+        inst = cs.inst0[:B2] + cs.inst0[B2:]
+        suppress = np.zeros(B2, bool)
+        for i in range(B):
+            if cs.filtered[i] or cs.filtered[B + i]:
+                continue
+            n1, n2_ = int(ee[i]), int(ee[B + i])
+            first, second = ((B + i, i) if (n1 > 0 and n2_ > 0 and n1 > n2_)
+                             else (i, B + i))
+            if inst[first] == 0:
+                suppress[second] = True
+                suppress[first] = True
+        eff = self._pe_effort_sets(cs, succ_cross, suppress)
+        conc: Dict[int, List[Tuple[int, int, int]]] = {}
+        for i, combos in conc_raw.items():
+            kept = [c for c in combos
+                    if c[1] in eff[i][1] or c[2] in eff[B + i][1]]
+            if kept:
+                conc[i] = kept
+
+        def _eff_ranked(ri):
+            return [k for k in ranked.get(ri, []) if k in eff[ri][0]]
 
         # ---- pass 2: mate rescue DP for pairs without a concordant combo ----
         rescue_specs = []   # (pair, anchor_k, opp_read_idx, opp_or, win_lo)
@@ -1365,7 +1451,7 @@ class PairedAligner(BatchAligner):
             if i in conc:
                 continue
             for mate, ri in ((0, i), (1, B + i)):
-                lst = ranked.get(ri, [])
+                lst = _eff_ranked(ri)
                 if not lst:
                     continue
                 ak = lst[0]
@@ -1401,7 +1487,7 @@ class PairedAligner(BatchAligner):
             for t in rsel.tolist():
                 (i, ak, opp_ri, opp_or, _) = rescue_specs[t]
                 if i in conc:
-                    pass  # another rescue already made this pair concordant
+                    continue  # another rescue already made this pair CP
                 rlo = int(rpool.win_start[t]) + rtb[t][1]["ref_start_win"]
                 rhi = int(rpool.end_pos(np.array([t]))[0])
                 if opp_ri >= B:  # opposite is mate 2 → anchor is mate 1
@@ -1430,8 +1516,8 @@ class PairedAligner(BatchAligner):
             rec1, rec2 = pairs[i]
             st.pairs += 1
             st.reads += 2
-            l1 = ranked.get(i, [])
-            l2 = ranked.get(B + i, [])
+            l1 = _eff_ranked(i)
+            l2 = _eff_ranked(B + i)
             combos = conc.get(i)
             if combos:
                 best = combos[0]
@@ -1489,6 +1575,50 @@ class PairedAligner(BatchAligner):
         return out
 
     # ------------------------------------------------------------------
+    def _pe_effort_sets(self, cs: CandSet, succ_cross: set,
+                        suppress_seeds: np.ndarray = None):
+        """Per-mate (attempted, successful) candidate sets under the
+        reference's -D fail-streak schedule (pipeline/pe_effort.py).
+
+        suppress_seeds[ri]: drop the read's SEED-phase candidates — models
+        the reference's round loop `break` when the first mate (fewer
+        exact hits) instantiates zero N-free seeds, which skips the other
+        mate's seed search for the round (bt2_search.cpp:3948-3952); with
+        PE's halved round count (1) that means no seed search at all."""
+        from bowtie2_tpu.pipeline.pe_effort import (pe_streak_limit,
+                                                    simulate_mate)
+        pol = self.pol
+        n2 = len(cs.lens)
+        eff = {}
+        by_read: Dict[int, List[int]] = {}
+        for k in range(cs.n_cand):
+            by_read.setdefault(int(cs.cand_read[k]), []).append(k)
+        if pol.all_hits:
+            # -a: no effort limits (bt2_search.cpp:3458-3462)
+            for ri in range(n2):
+                ks = set(by_read.get(ri, []))
+                eff[ri] = (ks, ks & succ_cross)
+            return eff
+        limit = pe_streak_limit(pol.fail_streak, pol.khits, True)
+        for ri in range(n2):
+            ks = by_read.get(ri, [])
+            if not ks:
+                eff[ri] = (set(), set())
+                continue
+            exact = [k for k in ks if cs.cand_exact[k]]
+            halfp = [k for k in ks
+                     if cs.cand_half[k] and not cs.cand_exact[k]]
+            if suppress_seeds is not None and suppress_seeds[ri]:
+                seedp = []
+            else:
+                seedp = [k for k in ks
+                         if not cs.cand_exact[k] and not cs.cand_half[k]]
+            anchor_ok = {k for k in ks if cs.valid[k]}
+            eff[ri] = simulate_mate([exact, halfp, seedp], cs.cand_rangej,
+                                    cs.cand_rwidth, succ_cross, anchor_ok,
+                                    limit)
+        return eff
+
     def _emit_pair(self, st, out, cs, i, rec1, rec2, m1, m2, sc_sum,
                    sec_sum, yt, proper) -> bool:
         """Emit both mates of a concordant/discordant pair. Returns False if
