@@ -114,7 +114,13 @@ class IndexData:
 
 
 def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
-                off_rate: int) -> HalfIndex:
+                off_rate: int, large: bool = False) -> HalfIndex:
+    """large=True stores row-space arrays (occ_cp/fchr/ftab/offs) as int64
+    — the ".bt2l" analog (reference btypes.h TIndexOffU 64-bit switch,
+    bt2_idx.h:100-105) — required when the joined text reaches 2^31 bp
+    (GRCh38 is ~3.1 Gbp). Device kernels pick the row dtype up from the
+    arrays; the small mode stays int32 (2x less HBM and faster)."""
+    rdt = np.int64 if large else np.int32
     n = int(text.size)
     sa = suffix_array(text)          # length n+1, sa[0] == n
     nrows = n + 1
@@ -145,11 +151,11 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
         axis=1).astype(np.int64)
     occ_cp = np.concatenate(
         [np.zeros((1, 4), np.int64),
-         np.cumsum(per_block, axis=0)[:-1]]).astype(np.int32)
+         np.cumsum(per_block, axis=0)[:-1]]).astype(rdt)
 
     # fchr: C[c] = 1 + #chars < c in text  (sentinel occupies row 0)
     counts = np.bincount(text, minlength=4)[:4]
-    fchr = np.concatenate([[1], 1 + np.cumsum(counts)]).astype(np.int32)[:5]
+    fchr = np.concatenate([[1], 1 + np.cumsum(counts)]).astype(rdt)[:5]
 
     # ftab: keys = first K chars of each suffix (in SA order → sorted).
     # Build per-position keys with sequential shifted adds (cache-friendly)
@@ -163,7 +169,7 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
     keys = keys_text[sa]
     full = (sa + K <= n)
     keys2 = keys * 2 + full
-    ftab = np.searchsorted(keys2, np.arange(2 * 4**K + 1, dtype=np.int64)).astype(np.int32)
+    ftab = np.searchsorted(keys2, np.arange(2 * 4**K + 1, dtype=np.int64)).astype(rdt)
 
     half = HalfIndex(
         n=n, z_off=z_off, bwt_words=bwt_words, occ_cp=occ_cp, fchr=fchr,
@@ -178,20 +184,22 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
         half.mark_words = pack_bits(marked_padded)
         mcsum = np.concatenate([[0], np.cumsum(marked_padded)])
         half.mark_cp = mcsum[:: OCC_BLOCK][:nblocks].astype(np.int32)
-        half.offs = sa[marked].astype(np.int32)
+        half.offs = sa[marked].astype(rdt)
     return half
 
 
 def build_index(fasta_path: str, ftab_chars: int = FTAB_CHARS,
-                off_rate: int = OFF_RATE, mirror: bool = False) -> IndexData:
+                off_rate: int = OFF_RATE, mirror: bool = False,
+                large: Optional[bool] = None) -> IndexData:
     refs = read_fasta(fasta_path)
     if not refs:
         raise ValueError(f"no sequences in {fasta_path}")
-    return build_index_from_refs(refs, ftab_chars, off_rate, mirror)
+    return build_index_from_refs(refs, ftab_chars, off_rate, mirror, large)
 
 
 def build_index_from_refs(refs, ftab_chars: int = FTAB_CHARS,
-                          off_rate: int = OFF_RATE, mirror: bool = False) -> IndexData:
+                          off_rate: int = OFF_RATE, mirror: bool = False,
+                          large: Optional[bool] = None) -> IndexData:
     """refs: [(name, uint8 codes incl N)]. mirror=True additionally builds
     the reversed-text index (the reference's .rev.1/2.bt2); no current
     search path uses it (kept for future in-index bidirectional -N 1
@@ -234,9 +242,14 @@ def build_index_from_refs(refs, ftab_chars: int = FTAB_CHARS,
         refn_words=pack_bits(nmask),
         off_rate=off_rate,
     )
-    data.fw = _build_half(joined, ftab_chars, True, off_rate)
+    if large is None:
+        # auto: int64 row space once the joined text nears 2^31 rows
+        # (reference bowtie2-build picks .bt2l past ~4 GB, bowtie2-build:61)
+        large = jpos >= (1 << 31) - 64
+    data.fw = _build_half(joined, ftab_chars, True, off_rate, large)
     if mirror:
-        data.bw = _build_half(joined[::-1].copy(), ftab_chars, False, off_rate)
+        data.bw = _build_half(joined[::-1].copy(), ftab_chars, False,
+                              off_rate, large)
     return data
 
 

@@ -20,17 +20,22 @@ from bowtie2_tpu.index.build import HalfIndex, IndexData
 
 
 class FMHalf(NamedTuple):
-    n: jnp.ndarray           # int32 scalar, joined text length
-    z_off: jnp.ndarray       # int32 scalar
-    lf_blocks: jnp.ndarray   # int32[nblocks, 12]: occ checkpoint counts
-                             # [:, :4] + the block's 8 packed-BWT words
-                             # [:, 4:] (uint32 bit patterns) — one row gather
-                             # serves a whole LF step
-    fchr: jnp.ndarray        # int32[5]
-    ftab: jnp.ndarray        # int32[2*4^K+1]
+    """Row-space dtype (int32 small / int64 ".bt2l"-analog large indexes)
+    is carried by occ_cp/fchr/ftab/offs — kernels derive it from fchr."""
+    n: jnp.ndarray           # scalar, joined text length (row dtype)
+    z_off: jnp.ndarray       # scalar (row dtype)
+    occ_cp: jnp.ndarray      # [nblocks, 4] occ checkpoint counts (row dtype)
+    bwt_blocks: jnp.ndarray  # int32[nblocks, 8]: packed-BWT words per block
+                             # (uint32 bit patterns)
+    fchr: jnp.ndarray        # [5] (row dtype)
+    ftab: jnp.ndarray        # [2*4^K+1] (row dtype)
     mark_blocks: jnp.ndarray  # uint32[nblocks, 4] (zeros if absent)
     mark_cp: jnp.ndarray      # int32[nblocks]
-    offs: jnp.ndarray         # int32[n_marked]
+    offs: jnp.ndarray         # [n_marked] (row dtype)
+
+    @property
+    def row_dtype(self):
+        return self.fchr.dtype
 
 
 class FMIndex(NamedTuple):
@@ -38,11 +43,18 @@ class FMIndex(NamedTuple):
     bw: Optional[FMHalf]
     ref_words: jnp.ndarray   # uint32, 2-bit global reference space
     refn_words: jnp.ndarray  # uint32 N bitmask
-    ref_cum: jnp.ndarray     # int64[nrefs+1]
-    n_ref_total: jnp.ndarray  # int32 scalar: total global reference length
+    ref_cum: jnp.ndarray     # [nrefs+1] (row dtype)
+    n_ref_total: jnp.ndarray  # scalar: total global reference length
 
     @staticmethod
     def from_host(data: IndexData, device=None) -> "FMIndex":
+        large = data.fw.occ_cp.dtype == np.int64
+        if large:
+            # int64 device arrays require the x64 flag; small indexes stay
+            # int32 (2x less HBM traffic in every LF step)
+            jax.config.update("jax_enable_x64", True)
+        rdt = jnp.int64 if large else jnp.int32
+
         def half(h: HalfIndex):
             if h is None:
                 return None
@@ -51,13 +63,13 @@ class FMIndex(NamedTuple):
                 np.zeros(nblocks * 4, dtype=np.uint32)
             markcp = h.mark_cp if h.mark_cp is not None else \
                 np.zeros(nblocks, dtype=np.int32)
-            offs = h.offs if h.offs is not None else np.zeros(1, dtype=np.int32)
-            lf = np.concatenate(
-                [h.occ_cp.astype(np.int32),
-                 h.bwt_words.reshape(nblocks, -1).view(np.int32)], axis=1)
+            offs = h.offs if h.offs is not None else \
+                np.zeros(1, dtype=h.occ_cp.dtype)
             return FMHalf(
-                n=jnp.int32(h.n), z_off=jnp.int32(h.z_off),
-                lf_blocks=jnp.asarray(lf),
+                n=rdt(h.n), z_off=rdt(h.z_off),
+                occ_cp=jnp.asarray(h.occ_cp),
+                bwt_blocks=jnp.asarray(
+                    h.bwt_words.reshape(nblocks, -1).view(np.int32)),
                 fchr=jnp.asarray(h.fchr),
                 ftab=jnp.asarray(h.ftab),
                 mark_blocks=jnp.asarray(mark.reshape(nblocks, -1)),
@@ -69,8 +81,9 @@ class FMIndex(NamedTuple):
             fw=half(data.fw), bw=half(data.bw),
             ref_words=jnp.asarray(data.ref_words),
             refn_words=jnp.asarray(data.refn_words),
-            ref_cum=jnp.asarray(data.ref_cum),
-            n_ref_total=jnp.int32(int(data.ref_cum[-1])),
+            ref_cum=jnp.asarray(data.ref_cum.astype(
+                np.int64 if large else np.int32)),
+            n_ref_total=rdt(int(data.ref_cum[-1])),
         )
         if device is not None:
             idx = jax.device_put(idx, device)

@@ -54,36 +54,42 @@ def _crumbs(block_rows: jnp.ndarray) -> jnp.ndarray:
 def _fchr_at(half: FMHalf, c: jnp.ndarray) -> jnp.ndarray:
     """fchr[c] for (B,) chars via masked sum (5-entry table)."""
     sel = (c[:, None] == _CHARS4[None, :])
-    return jnp.sum(jnp.where(sel, half.fchr[None, :4], 0), axis=1)
+    return jnp.sum(jnp.where(sel, half.fchr[None, :4],
+                             jnp.zeros((), half.row_dtype)), axis=1,
+                   dtype=half.row_dtype)
 
 
 def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """#occurrences of per-state char c in bwt[0:i). i, c: (B,) int32.
-
-    One fused row gather per state: occ checkpoints + BWT words share a row
-    (fmindex.FMHalf.lf_blocks), halving HBM transactions per LF step."""
-    block = i // OCC_BLOCK
-    rows = jnp.take(half.lf_blocks, block, axis=0)            # (B, 12)
-    crumbs = _crumbs(rows[:, 4:])
+    """#occurrences of per-state char c in bwt[0:i). i: (B,) row dtype;
+    c: (B,) int32. Block count fits int32 for any realistic genome, so the
+    gathers stay int32-indexed even in the int64 (large-index) mode."""
+    block = (i // OCC_BLOCK).astype(jnp.int32)
+    words = jnp.take(half.bwt_blocks, block, axis=0)          # (B, 8)
+    crumbs = _crumbs(words)
+    pos = (i - block.astype(i.dtype) * OCC_BLOCK).astype(jnp.int32)
     inb = jnp.sum(((crumbs == c[:, None]) &
-                   (_LANE[None, :] < (i - block * OCC_BLOCK)[:, None])
-                   ).astype(jnp.int32), axis=1)
-    cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], rows[:, :4], 0),
-                 axis=1)
+                   (_LANE[None, :] < pos[:, None])
+                   ).astype(jnp.int32), axis=1, dtype=jnp.int32)
+    cps = jnp.take(half.occ_cp, block, axis=0)                # (B, 4)
+    cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cps,
+                           jnp.zeros((), half.row_dtype)), axis=1,
+                 dtype=half.row_dtype)
     corr = ((c == 0) & (i > half.z_off)).astype(jnp.int32)
     return cp + inb - corr
 
 
 def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     """(B, 4) occurrence counts of every char in bwt[0:i). i: (B,)."""
-    block = i // OCC_BLOCK
-    rows = jnp.take(half.lf_blocks, block, axis=0)
-    crumbs = _crumbs(rows[:, 4:])
-    mask = _LANE[None, :] < (i - block * OCC_BLOCK)[:, None]
+    block = (i // OCC_BLOCK).astype(jnp.int32)
+    words = jnp.take(half.bwt_blocks, block, axis=0)
+    crumbs = _crumbs(words)
+    pos = (i - block.astype(i.dtype) * OCC_BLOCK).astype(jnp.int32)
+    mask = _LANE[None, :] < pos[:, None]
     onehot = (crumbs[:, :, None] == _CHARS4[None, None, :])
-    cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1)
+    cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1,
+                  dtype=jnp.int32)
     corr = jnp.where((_CHARS4[None, :] == 0) & (i > half.z_off)[:, None], 1, 0)
-    return rows[:, :4] + cnt - corr
+    return jnp.take(half.occ_cp, block, axis=0) + cnt - corr
 
 
 def lf_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -150,7 +156,8 @@ def exact_sweep_rr(half: FMHalf, rr: jnp.ndarray) -> SweepResult:
     5 = inactive). Callers that hold both orientations build rr with zero
     gathers: the reversed fw read is the complement of the rc read row."""
     B, Lmax = rr.shape
-    nrows = (half.n + 1).astype(jnp.int32)
+    rdt = half.row_dtype
+    nrows = (half.n + 1).astype(rdt)
 
     def step(carry, c):
         top, bot, nedit = carry
@@ -171,8 +178,8 @@ def exact_sweep_rr(half: FMHalf, rr: jnp.ndarray) -> SweepResult:
         nedit = jnp.where(active, nedit2, nedit)
         return (top, bot, nedit), None
 
-    init = (jnp.zeros(B, jnp.int32),
-            jnp.broadcast_to(nrows, (B,)).astype(jnp.int32),
+    init = (jnp.zeros(B, rdt),
+            jnp.broadcast_to(nrows, (B,)).astype(rdt),
             jnp.zeros(B, jnp.int32))
     (top, bot, nedit), _ = jax.lax.scan(step, init, rr.T)
     return SweepResult(top, bot, nedit)
@@ -209,7 +216,8 @@ def substring_search_rr(half: FMHalf, rr: jnp.ndarray
     """substring_search on a pre-reversed stream (rr[:, p] = s[len-1-p],
     5 = inactive past the string's length)."""
     B, Lmax = rr.shape
-    nrows = (half.n + 1).astype(jnp.int32)
+    rdt = half.row_dtype
+    nrows = (half.n + 1).astype(rdt)
 
     def step(carry, c):
         top, bot = carry
@@ -229,8 +237,8 @@ def substring_search_rr(half: FMHalf, rr: jnp.ndarray
         bot = jnp.where(active, nbot, bot)
         return (top, bot), None
 
-    init = (jnp.zeros(B, jnp.int32),
-            jnp.broadcast_to(nrows, (B,)).astype(jnp.int32))
+    init = (jnp.zeros(B, rdt),
+            jnp.broadcast_to(nrows, (B,)).astype(rdt))
     (top, bot), _ = jax.lax.scan(step, init, rr.T)
     return top, jnp.maximum(top, bot)
 
@@ -274,7 +282,8 @@ def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
     and the scan runs only seed_len - K LF steps.
     """
     B = seeds.shape[0]
-    nrows = (half.n + 1).astype(jnp.int32)
+    rdt = half.row_dtype
+    nrows = (half.n + 1).astype(rdt)
 
     def step(carry, c):
         top, bot = carry
@@ -295,21 +304,21 @@ def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
     if 0 < K <= seed_len:
         tail = seeds[:, seed_len - K:]
         has_n = (tail >= 4).any(axis=1)
-        weights = (4 ** jnp.arange(K - 1, -1, -1, dtype=jnp.int64))
-        key = jnp.sum(jnp.clip(tail, 0, 3).astype(jnp.int64)
-                      * weights[None, :], axis=1)
+        weights = (4 ** jnp.arange(K - 1, -1, -1, dtype=jnp.int32))
+        key = jnp.sum(jnp.clip(tail, 0, 3) * weights[None, :], axis=1,
+                      dtype=jnp.int32)
         top0, bot0 = ftab_lookup_batch(half, key)
         ok = valid & ~has_n
-        init = (jnp.where(ok, top0, 1).astype(jnp.int32),
-                jnp.where(ok, bot0, 0).astype(jnp.int32))
+        init = (jnp.where(ok, top0, 1).astype(rdt),
+                jnp.where(ok, bot0, 0).astype(rdt))
         rest = seeds[:, :seed_len - K]
         if rest.shape[1]:
             (top, bot), _ = jax.lax.scan(step, init, rest[:, ::-1].T)
         else:
             top, bot = init
     else:
-        init = (jnp.zeros(B, jnp.int32),
-                jnp.where(valid, nrows, 0).astype(jnp.int32))
+        init = (jnp.zeros(B, rdt),
+                jnp.where(valid, nrows, 0).astype(rdt))
         (top, bot), _ = jax.lax.scan(step, init, seeds[:, ::-1].T)
     return top, jnp.maximum(top, bot)
 
@@ -333,24 +342,30 @@ def _mark_bits(half: FMHalf, block: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("period",))
 def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray:
-    """Batched BWT row → joined text offset. rows: (B,) int32."""
+    """Batched BWT row → joined text offset. rows: (B,) row dtype."""
     B = rows.shape[0]
+    rdt = half.row_dtype
+    rows = rows.astype(rdt)
 
     def step(carry, _):
         row, steps, done = carry
-        block = row // OCC_BLOCK
-        pos = row - block * OCC_BLOCK                       # (B,)
-        rows = jnp.take(half.lf_blocks, block, axis=0)      # (B, 12)
-        crumbs = _crumbs(rows[:, 4:])                       # (B, 128)
+        block = (row // OCC_BLOCK).astype(jnp.int32)
+        pos = (row - block.astype(rdt) * OCC_BLOCK).astype(jnp.int32)
+        words = jnp.take(half.bwt_blocks, block, axis=0)    # (B, 8)
+        cps = jnp.take(half.occ_cp, block, axis=0)          # (B, 4)
+        crumbs = _crumbs(words)                             # (B, 128)
         at = (_LANE[None, :] == pos[:, None])
-        c = jnp.sum(jnp.where(at, crumbs, 0), axis=1)       # bwt char at row
-        marked = jnp.sum(jnp.where(at, _mark_bits(half, block), 0), axis=1) == 1
+        c = jnp.sum(jnp.where(at, crumbs, 0), axis=1,
+                    dtype=jnp.int32)                        # bwt char at row
+        marked = jnp.sum(jnp.where(at, _mark_bits(half, block), 0), axis=1,
+                         dtype=jnp.int32) == 1
         done_now = done | marked
         # occ(row, c) using the already-gathered block
         lt = _LANE[None, :] < pos[:, None]
-        inb = jnp.sum(((crumbs == c[:, None]) & lt).astype(jnp.int32), axis=1)
-        cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], rows[:, :4], 0),
-                     axis=1)
+        inb = jnp.sum(((crumbs == c[:, None]) & lt).astype(jnp.int32),
+                      axis=1, dtype=jnp.int32)
+        cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cps,
+                               jnp.zeros((), rdt)), axis=1, dtype=rdt)
         corr = ((c == 0) & (row > half.z_off)).astype(jnp.int32)
         nrow = _fchr_at(half, c) + cp + inb - corr
         row = jnp.where(done_now, row, nrow)
@@ -362,9 +377,10 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
         None, length=period)
 
     # rank of the marked row → offs[]
-    block = row // OCC_BLOCK
-    pos = row - block * OCC_BLOCK
+    block = (row // OCC_BLOCK).astype(jnp.int32)
+    pos = (row - block.astype(rdt) * OCC_BLOCK).astype(jnp.int32)
     bits = _mark_bits(half, block)
-    inb = jnp.sum(bits * (_LANE[None, :] < pos[:, None]), axis=1)
+    inb = jnp.sum(bits * (_LANE[None, :] < pos[:, None]), axis=1,
+                  dtype=jnp.int32)
     rank = jnp.take(half.mark_cp, block) + inb
     return jnp.take(half.offs, rank) + steps

@@ -75,7 +75,7 @@ def _pack4(codes: jnp.ndarray) -> jnp.ndarray:
             [codes, jnp.full((B, 8 - L % 8), 5, jnp.int32)], axis=1)
     return jnp.sum(codes.reshape(B, -1, 8)
                    << (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :],
-                   axis=2)
+                   axis=2, dtype=jnp.int32)
 
 
 def _extract_packed(words: jnp.ndarray, offs: jnp.ndarray, length: int
@@ -111,7 +111,7 @@ def _extract_packed(words: jnp.ndarray, offs: jnp.ndarray, length: int
     bit_of = 4 * (cpos % 8)
     sel = jnp.sum(jnp.where(
         word_of[..., None] == jnp.arange(nsel, dtype=jnp.int32),
-        loc[:, :, None, :], 0), axis=3)
+        loc[:, :, None, :], 0), axis=3, dtype=jnp.int32)
     return (sel >> bit_of) & 15
 
 
@@ -132,8 +132,9 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
     M = 2 * M2
 
     # ---- exact end-to-end hits ----
-    ex_w = jnp.where((sw_ned == 0) & (sw_bot > sw_top), sw_bot - sw_top, 0)
-    ex_w = jnp.minimum(ex_w, max_exact_rows)                     # (2B,)
+    ex_w = jnp.where((sw_ned == 0) & (sw_bot > sw_top),
+                     sw_bot - sw_top, 0)
+    ex_w = jnp.minimum(ex_w, max_exact_rows).astype(jnp.int32)   # (2B,)
     ex_w = jnp.where(jnp.concatenate([live_read, live_read]), ex_w, 0)
     t_fw = jnp.minimum(ex_w[:B], T)
     t_rc = jnp.minimum(ex_w[B:], T - t_fw)
@@ -142,7 +143,7 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
     # ---- seed/half ranges sorted by width ascending ----
     w = jnp.concatenate([bots2[:B] - tops2[:B],
                          bots2[B:] - tops2[B:]], axis=1)         # (B, M)
-    w = jnp.maximum(w, 0)
+    w = jnp.minimum(jnp.maximum(w, 0), BIGKEY - 1).astype(jnp.int32)
     w = jnp.where(live_read[:, None], w, 0)
     tops = jnp.concatenate([tops2[:B], tops2[B:]], axis=1)
     offs = jnp.concatenate([offs2[:B], offs2[B:]], axis=1)
@@ -161,12 +162,14 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
     # ---- depth-major round-robin allocation (deepest full round Dstar,
     # leftover to the narrowest still-live ranges) ----
     ds = jnp.arange(T + 1, dtype=jnp.int32)
-    f = jnp.minimum(w[:, :, None], ds[None, None, :]).sum(axis=1)  # (B,T+1)
+    f = jnp.minimum(w[:, :, None], ds[None, None, :]).sum(
+        axis=1, dtype=jnp.int32)                                   # (B,T+1)
     Dstar = jnp.maximum((f <= rem[:, None]).sum(axis=1) - 1, 0)
     used = jnp.take_along_axis(f, Dstar[:, None], axis=1)[:, 0]
     extra_budget = rem - used
     alive = w > Dstar[:, None]
-    extra = alive & (jnp.cumsum(alive, axis=1) <= extra_budget[:, None])
+    extra = alive & (jnp.cumsum(alive, axis=1, dtype=jnp.int32)
+                     <= extra_budget[:, None])
     n = jnp.minimum(w, Dstar[:, None]) + extra                   # (B, M)
 
     # ---- slot fill: sort a per-read key table, take first T ----
@@ -193,8 +196,9 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
     sj = q % M
 
     rdix = jnp.arange(B, dtype=jnp.int32)[:, None]
-    ex_row = (jnp.take(sw_top, ex_or * B + rdix) + ex_d)
-    seed_row = jnp.take_along_axis(tops, sj, axis=1) + sd
+    ex_row = jnp.take(sw_top, ex_or * B + rdix) + ex_d.astype(sw_top.dtype)
+    seed_row = jnp.take_along_axis(tops, sj, axis=1) \
+        + sd.astype(tops.dtype)
     slot_row = jnp.where(is_exact, ex_row, seed_row)
     slot_or = jnp.where(is_exact, ex_or,
                         jnp.take_along_axis(oris, sj, axis=1))
@@ -204,7 +208,8 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
                           jnp.take_along_axis(mlens, sj, axis=1))
     slot_half = jnp.where(is_exact, False,
                           jnp.take_along_axis(halfs, sj, axis=1))
-    slot_row = jnp.where(slot_valid, slot_row, 0)
+    slot_row = jnp.where(slot_valid, slot_row,
+                         jnp.zeros((), slot_row.dtype))
     return (slot_valid, slot_row, slot_or, slot_off, is_exact & slot_valid,
             slot_mlen, slot_half)
 
@@ -316,7 +321,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     slot_valid &= seg_ok
     gpos = jnp.take(seg.seg_global_start, segi) + \
         (jpos - jnp.take(seg.seg_joined_start, segi))
-    anchor = gpos - slot_off.astype(jnp.int32)
+    anchor = gpos - slot_off.astype(gpos.dtype)
     rid = jnp.searchsorted(seg.ref_cum, gpos, side="right") - 1
 
     # dedupe by (orient, anchor) within each read, keep first slot; source
@@ -347,9 +352,10 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     c_rid = jnp.where(live_c, rid[ci_read, ci_slot], 0)
     c_half = half_only[ci_read, ci_slot] & live_c
 
-    win_start = jnp.where(live_c, c_anchor - G, 0).astype(jnp.int32)
-    lo = jnp.take(seg.ref_cum, c_rid).astype(jnp.int32)
-    hi = jnp.take(seg.ref_cum, c_rid + 1).astype(jnp.int32)
+    win_start = jnp.where(live_c, c_anchor - G,
+                          jnp.zeros((), c_anchor.dtype))
+    lo = jnp.take(seg.ref_cum, c_rid)
+    hi = jnp.take(seg.ref_cum, c_rid + 1)
     # word-aligned window gather: the window row begins at win_start & ~31
     # and the rect's column 0 lives at col_shift (0..31)
     wins, col_shift = gather_windows_aligned.__wrapped__(
@@ -372,7 +378,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     for k in range(32):
         diag_k = jax.lax.dynamic_slice_in_dim(wins, k + G, Lmax, axis=1)
         mm_k = jnp.sum(((jreads_c != diag_k) | (jreads_c >= 4)) & read_live,
-                       axis=1)
+                       axis=1, dtype=jnp.int32)
         mm_ug = jnp.where(col_shift == k, mm_k, mm_ug)
 
     c_score = jnp.where(live_c, res.score, NEG)
@@ -385,7 +391,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     flat_ci = jnp.where(live_c, perm, B * T)
     sc_sl = jnp.full(B * T + 1, NEG, jnp.int32).at[flat_ci].set(
         jnp.where(c_valid, c_score, NEG))[:-1].reshape(B, T)
-    end_sl = jnp.zeros(B * T + 1, jnp.int32).at[flat_ci].set(
+    end_sl = jnp.zeros(B * T + 1, c_end.dtype).at[flat_ci].set(
         c_end)[:-1].reshape(B, T)
     cpos_sl = jnp.zeros(B * T + 1, jnp.int32).at[flat_ci].set(
         jnp.arange(NC, dtype=jnp.int32))[:-1].reshape(B, T)
@@ -421,9 +427,10 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         jnp.take(wins, ch_ci, axis=0), params, G)
 
     ch_okf = ch_ok.T.reshape(-1)
-    g_start = jnp.take(astart, ch_ci) + bt.ref_start_win
-    ch_rid = jnp.take(c_rid, ch_ci)
-    roff = g_start - jnp.take(seg.ref_cum, ch_rid)
+    g_start = jnp.take(astart, ch_ci) \
+        + bt.ref_start_win.astype(astart.dtype)
+    ch_rid = jnp.take(c_rid, ch_ci).astype(jnp.int32)
+    roff = (g_start - jnp.take(seg.ref_cum, ch_rid)).astype(jnp.int32)
     meta = jnp.concatenate([
         r_score.T.reshape(-1), r_valid.T.reshape(-1).astype(jnp.int32),
         ch_okf.astype(jnp.int32),
@@ -433,7 +440,8 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         jnp.take(c_score, ch_ci),
         # n_dropped: candidates beyond the NC DP budget (host falls back to
         # the reference-order-preserving unfused path when nonzero)
-        jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32)) - NC, 0)[None],
+        jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32),
+                            dtype=jnp.int32) - NC, 0)[None],
     ]).astype(jnp.int32)
     blob = jnp.concatenate([
         bt.ops.reshape(-1),

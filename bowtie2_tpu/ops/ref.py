@@ -29,14 +29,15 @@ def gather_windows(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
     """
     n_words = ref_words.shape[0]
     nw = width // 16 + 2
-    wstart = jnp.clip(starts, -(1 << 24), 1 << 30) >> 4
+    wstart = (jnp.clip(starts, -(1 << 24), None) >> 4).astype(jnp.int32)
     widx = jnp.clip(wstart[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
                     0, n_words - 1)
     words = jnp.take(ref_words, widx, axis=0)            # (B, nw)
     crumbs = ((words[:, :, None]
                >> (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :])
               & jnp.uint32(3)).astype(jnp.int32).reshape(-1, nw * 16)
-    off = (starts - (wstart << 4))[:, None]              # 0..15
+    off = (starts - (wstart << 4).astype(starts.dtype)
+           ).astype(jnp.int32)[:, None]                   # 0..15
     sel = off + jnp.arange(width, dtype=jnp.int32)[None, :]
     code = jnp.take_along_axis(crumbs, sel, axis=1)
 
@@ -48,12 +49,13 @@ def gather_windows(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
     nbits = ((nwords[:, :, None]
               >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
              & jnp.uint32(1)).astype(jnp.int32).reshape(-1, nn * 32)
-    noff = (starts - (nstart << 5))[:, None]
+    noff = (starts - (nstart << 5).astype(starts.dtype)
+            ).astype(jnp.int32)[:, None]
     is_n = jnp.take_along_axis(nbits, noff + jnp.arange(width, dtype=jnp.int32)[None, :],
                                axis=1) == 1
     code = jnp.where(is_n, 4, code)
 
-    pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    pos = starts[:, None] + jnp.arange(width, dtype=starts.dtype)[None, :]
     oob = (pos < lo[:, None]) | (pos >= hi[:, None])
     return jnp.where(oob, 5, code)
 
@@ -80,11 +82,12 @@ def gather_windows_aligned(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
     Wa = aligned_width(width)
     n_words = ref_words.shape[0]
     # signed &~31 rounds toward -inf, so col_shift stays in [0, 32) even
-    # for windows starting before the reference (those columns go oob)
-    astart = starts & ~jnp.int32(31)
-    col_shift = starts - astart                             # 0..31
+    # for windows starting before the reference (those columns go oob).
+    # starts may be int64 (large indexes); word indices always fit int32.
+    astart = starts & ~jnp.asarray(31, starts.dtype)
+    col_shift = (starts - astart).astype(jnp.int32)         # 0..31
     nw = Wa // 16
-    wstart = astart >> 4
+    wstart = (astart >> 4).astype(jnp.int32)
     widx = jnp.clip(wstart[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
                     0, n_words - 1)
     words = jnp.take(ref_words, widx, axis=0)               # (B, nw)
@@ -93,7 +96,7 @@ def gather_windows_aligned(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
             & jnp.uint32(3)).astype(jnp.int32).reshape(-1, Wa)
 
     nn = Wa // 32
-    nidx = jnp.clip((astart >> 5)[:, None]
+    nidx = jnp.clip((astart >> 5).astype(jnp.int32)[:, None]
                     + jnp.arange(nn, dtype=jnp.int32)[None, :],
                     0, refn_words.shape[0] - 1)
     nwords = jnp.take(refn_words, nidx, axis=0)
@@ -102,7 +105,7 @@ def gather_windows_aligned(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
              & jnp.uint32(1)).astype(jnp.int32).reshape(-1, Wa)
     code = jnp.where(nbits == 1, 4, code)
 
-    pos = astart[:, None] + jnp.arange(Wa, dtype=jnp.int32)[None, :]
+    pos = astart[:, None] + jnp.arange(Wa, dtype=astart.dtype)[None, :]
     oob = (pos < lo[:, None]) | (pos >= hi[:, None]) \
         | (pos < starts[:, None])
     return jnp.where(oob, 5, code), col_shift

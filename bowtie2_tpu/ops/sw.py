@@ -216,7 +216,8 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
                 [dirbits, jnp.zeros((B, 8 - W % 8), jnp.int32)], axis=1)
         packed = jnp.sum(
             dirbits.reshape(B, -1, 8)
-            << (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :], axis=2)
+            << (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :],
+            axis=2, dtype=jnp.int32)
 
         # best tracking: e2e → only at final row; local → any cell
         row_best = jnp.max(h_cur, axis=1)

@@ -253,16 +253,16 @@ class BatchAligner:
         self.metrics = Metrics()
         self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
-        # device segment tables for the fused pipeline (replicated: tiny)
+        # device segment tables for the fused pipeline (replicated: tiny);
+        # row dtype follows the index (int64 for ".bt2l"-scale genomes)
         from bowtie2_tpu.ops.fused import SegTables
+        sdt = np.int64 if data.fw.occ_cp.dtype == np.int64 else np.int32
         self.seg = SegTables(
-            seg_joined_start=jnp.asarray(
-                data.seg_joined_start.astype(np.int32)),
-            seg_global_start=jnp.asarray(
-                data.seg_global_start.astype(np.int32)),
-            seg_end_joined=jnp.asarray(
-                self._seg_end_joined.astype(np.int32)),
-            ref_cum=jnp.asarray(data.ref_cum.astype(np.int32)))
+            seg_joined_start=jnp.asarray(data.seg_joined_start.astype(sdt)),
+            seg_global_start=jnp.asarray(data.seg_global_start.astype(sdt)),
+            seg_end_joined=jnp.asarray(self._seg_end_joined.astype(sdt)),
+            ref_cum=jnp.asarray(data.ref_cum.astype(sdt)))
+        self._row_dtype = sdt
 
     def _put(self, a):
         """Host→device: batch-axis sharded over the mesh when one is set."""
@@ -373,7 +373,7 @@ class BatchAligner:
             return cs
 
         NR = _pow2_at_least(n_cand)
-        rows_pad = np.zeros(NR, dtype=np.int32)
+        rows_pad = np.zeros(NR, dtype=self._row_dtype)
         rows_pad[:n_cand] = cand_row
         jpos = np.asarray(fm.sa_resolve(
             self.idx.fw, self._put(rows_pad),
@@ -462,12 +462,12 @@ class BatchAligner:
         B = lens.size
         width = Lmax + 2 * G + 1
         NC = _pow2_at_least(max(n, 1))
-        starts = np.zeros(NC, dtype=np.int32)
-        lo = np.zeros(NC, dtype=np.int32)
-        hi = np.zeros(NC, dtype=np.int32)
-        starts[:n] = win_start.astype(np.int32)
-        lo[:n] = self.data.ref_cum[rid].astype(np.int32)
-        hi[:n] = self.data.ref_cum[rid + 1].astype(np.int32)
+        starts = np.zeros(NC, dtype=self._row_dtype)
+        lo = np.zeros(NC, dtype=self._row_dtype)
+        hi = np.zeros(NC, dtype=self._row_dtype)
+        starts[:n] = win_start
+        lo[:n] = self.data.ref_cum[rid]
+        hi[:n] = self.data.ref_cum[rid + 1]
         wins = gather_windows(self.idx.ref_words, self.idx.refn_words,
                               self._put(starts), self._put(lo),
                               self._put(hi), width)
