@@ -34,7 +34,13 @@ def _warm_device_link() -> None:
     On the tunneled TPU backend, the FIRST device→host transfer of a
     process stalls ~190s if it happens after compilation activity; an
     immediate tiny round-trip avoids the stall entirely (measured).
+
+    Skipped in multi-host mode: jax.distributed.initialize must precede
+    any backend use (dist/multihost.py init_multihost).
     """
+    if _os.environ.get("BT2X_NUM_PROCESSES") or \
+            _os.environ.get("BT2X_COORDINATOR"):
+        return
     try:
         import numpy as _np
         import jax.numpy as _jnp

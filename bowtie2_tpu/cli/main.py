@@ -134,6 +134,9 @@ def _build_align_parser():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--mm", action="store_true")        # index sharing n/a
     ap.add_argument("--qc-filter", action="store_true")
+    ap.add_argument("--pipeline-depth", type=int, default=None,
+                    help="batches kept in flight on the device (default 3; "
+                         "-p maps here: device batching replaces threads)")
     return ap
 
 
@@ -146,6 +149,10 @@ def cmd_align(argv):
     from bowtie2_tpu.index.build import load_index, save_index
     from bowtie2_tpu.io.fastx import (iter_bam, iter_interleaved, iter_many,
                                       iter_qseq, iter_tab, trim_record)
+
+    def iter_qseq_many(paths, qc):
+        for pth in paths.split(","):
+            yield from iter_qseq(pth, qc_filter=qc)
     from bowtie2_tpu.io.sam import SamWriter
     from bowtie2_tpu.pipeline.align import (PairedAligner, UnpairedAligner,
                                             _bucket)
@@ -180,6 +187,7 @@ def cmd_align(argv):
     for flag, attr in (("norc", "norc"), ("nofw", "nofw"),
                        ("no_mixed", "no_mixed"),
                        ("no_discordant", "no_discordant"),
+                       ("no_1mm_upfront", "no_1mm"),
                        ("ignore_quals", "ignore_quals")):
         if getattr(args, flag):
             overrides[attr] = True
@@ -250,13 +258,21 @@ def cmd_align(argv):
     fmt = ("fasta" if args.fasta_reads else
            "fastq" if args.fastq_reads else "auto")
 
+    if args.qc_filter and not args.qseq:
+        print("error: --qc-filter requires --qseq input (reference "
+              "semantics: QSEQ QC field)", file=sys.stderr)
+        return 2
+    if args.mm:
+        print("note: --mm (memory-mapped index sharing) is not applicable "
+              "on TPU; the index is device-resident and shared across the "
+              "mesh", file=sys.stderr)
     if args.bam:
         reader = iter_bam(args.bam)
+    elif args.qseq and paired:
+        reader = zip(iter_qseq_many(args.mate1, args.qc_filter),
+                     iter_qseq_many(args.mate2, args.qc_filter))
     elif args.qseq and args.unpaired:
-        def _qseq_many():
-            for pth in args.unpaired.split(","):
-                yield from iter_qseq(pth)
-        reader = _qseq_many()
+        reader = iter_qseq_many(args.unpaired, args.qc_filter)
     elif args.tab5 or args.tab6:
         reader = iter_tab(args.tab5 or args.tab6, qual_offset=qoff)
     elif args.interleaved:
@@ -333,7 +349,10 @@ def cmd_align(argv):
         # pipelined dispatch: keep a few batches in flight so host
         # parse/emit overlaps device compute (JAX async dispatch)
         from collections import deque
-        DEPTH = 3
+        # -p historically adds worker threads; the device pipeline replaces
+        # them — map thread count to in-flight batch depth instead
+        DEPTH = args.pipeline_depth if args.pipeline_depth is not None \
+            else max(3, min(args.threads, 8))
         pend = deque()
 
         def _drain():

@@ -252,15 +252,23 @@ def iter_bam(path: str) -> Iterator[SeqRecord]:
                             qual=np.clip(qual, 0, 62).astype(np.uint8))
 
 
-def iter_qseq(path: str, qual_offset: int = 64, _fh=None) -> Iterator[SeqRecord]:
+def iter_qseq(path: str, qual_offset: int = 64, _fh=None,
+              qc_filter: bool = False) -> Iterator[SeqRecord]:
     """Illumina qseq format (reference read_qseq.cpp): 11 tab fields;
-    name built from machine_run_lane_tile_x_y, '.' means N."""
+    name built from machine_run_lane_tile_x_y, '.' means N. With
+    qc_filter, reads whose QC field (11th) is 0 are replaced by empty
+    reads (the reference's --qc-filter marks them filtered-out, and empty
+    reads take the filtered path downstream)."""
     with (_fh or _open_text(path)) as f:
         for line in f:
             t = line.rstrip(b"\r\n").split(b"\t")
             if len(t) < 11:
                 continue
             name = b"_".join(t[0:6]).decode()
+            if qc_filter and t[10] == b"0":
+                yield SeqRecord(name=name, seq=encode_seq(b""),
+                                qual=_qual_codes(b"", qual_offset))
+                continue
             seq = t[8].replace(b".", b"N")
             yield SeqRecord(name=name, seq=encode_seq(seq),
                             qual=_qual_codes(t[9], qual_offset))

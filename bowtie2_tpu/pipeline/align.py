@@ -335,6 +335,8 @@ class BatchAligner:
         ht_bt = np.asarray(half_tb_d)
         half_top = ht_bt[0].reshape(2, -1).T
         half_bot = ht_bt[1].reshape(2, -1).T
+        if pol.no_1mm:   # --no-1mm-upfront: drop the 1-mismatch phase
+            half_bot = half_top.copy()
         # merge half-read hits into the seed-range arrays (2B, smax+2)
         smax0 = seed_off.shape[1]
         seed_off = np.concatenate([seed_off, half_off], axis=1)

@@ -84,6 +84,7 @@ class Policy:
     # multiseed
     seed_len: int = 22
     seed_mms: int = 0
+    no_1mm: bool = False          # --no-1mm-upfront: skip the 1-mm phase
     seed_rounds: int = 2          # -R
     fail_streak: int = 15         # -D
     # reporting
