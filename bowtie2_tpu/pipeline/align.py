@@ -635,7 +635,8 @@ class BatchAligner:
                          al_multi=st.al_multi)
 
     # ------------------------------------------------------------------
-    def _seed_offsets(self, lens, ival_boost=None, smax_min: int = 1):
+    def _seed_offsets(self, lens, ival_boost=None, smax_min: int = 1,
+                      nrounds: int = 1):
         """Instantiated seed offsets for both orientations (host numpy).
 
         fw seeds start at depth d from the 5' end; rc seeds are anchored
@@ -647,13 +648,15 @@ class BatchAligner:
         pol = self.pol
         B = lens.size
         slen = pol.seed_len
-        # Re-seeding rounds beyond the first only run in the reference when
-        # round-1 seed hits average >= --seed-boost (300) elements — i.e.
-        # essentially never outside highly repetitive reads (bt2_search.cpp
-        # :4146 averageHitsPerSeed() gate; verified empirically: 0 of the
-        # lambda golden alignments need round-2 seeds). Round-0 only here;
-        # the repetitive-read boost pass is future work.
-        nrounds = 1
+        # The reference runs up to -R seed rounds per mate
+        # (bt2_search.cpp:3881), offsetting round r's seeds by
+        # interval*r/nrounds, with per-round effort streaks deciding when
+        # later rounds actually fire. Pooling all rounds' seeds into one
+        # budget was measured to OVER-align vs the reference (the reference
+        # gives up via its round-by-round streaks before consuming round-2
+        # candidates on the golden corpora), so the default stays at one
+        # round; nrounds>1 is available for sensitivity-oriented use.
+        nrounds = max(nrounds, 1)
         ulen, inv = np.unique(lens, return_inverse=True)
         ival_u = np.array([pol.interval(int(l)) if l else 1
                            for l in ulen], np.int32)
