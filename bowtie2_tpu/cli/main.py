@@ -62,6 +62,9 @@ def _build_align_parser():
     ap.add_argument("-q", dest="fastq_reads", action="store_true")
     ap.add_argument("-f", dest="fasta_reads", action="store_true")
     ap.add_argument("-r", dest="raw_reads", action="store_true")
+    ap.add_argument("-F", dest="fasta_cont", default=None,
+                    help="k:<int>,i:<int> — sample length-k reads every i "
+                         "bases from the -U FASTA (FASTA-continuous)")
     ap.add_argument("-s", "--skip", type=int, default=0)
     ap.add_argument("-u", "--upto", type=int, default=None)
     ap.add_argument("-5", "--trim5", type=int, default=0)
@@ -266,7 +269,16 @@ def cmd_align(argv):
         print("note: --mm (memory-mapped index sharing) is not applicable "
               "on TPU; the index is device-resident and shared across the "
               "mesh", file=sys.stderr)
-    if args.bam:
+    if args.fasta_cont:
+        from bowtie2_tpu.io.fastx import iter_fasta_continuous
+        spec = args.fasta_cont.replace("k:", "").replace("i:", "")
+        kF, iF = (int(x) for x in spec.split(","))
+
+        def _fc_many():
+            for pth in args.unpaired.split(","):
+                yield from iter_fasta_continuous(pth, kF, iF)
+        reader = _fc_many()
+    elif args.bam:
         reader = iter_bam(args.bam)
     elif args.qseq and paired:
         reader = zip(iter_qseq_many(args.mate1, args.qc_filter),

@@ -272,3 +272,18 @@ def iter_qseq(path: str, qual_offset: int = 64, _fh=None,
             seq = t[8].replace(b".", b"N")
             yield SeqRecord(name=name, seq=encode_seq(seq),
                             qual=_qual_codes(t[9], qual_offset))
+
+
+def iter_fasta_continuous(path: str, k: int, ival: int, _fh=None
+                          ) -> Iterator[SeqRecord]:
+    """-F k,i: sample length-k reads every i bases from each FASTA sequence
+    (reference FASTA-continuous, pat.h:698). Read names are
+    "{seqname}_{offset}"; only full-length windows are emitted; quals fixed
+    at 40 ('I'), matching the reference's constant qualities."""
+    for name, codes in read_fasta(path, _fh=_fh):
+        for off in range(0, max(codes.size - k, 0) + 1, max(ival, 1)):
+            if off + k > codes.size:
+                break
+            yield SeqRecord(name=f"{name}_{off}",
+                            seq=codes[off:off + k].copy(),
+                            qual=np.full(k, 40, np.uint8))

@@ -61,8 +61,11 @@ def gather_windows(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
 
 
 def aligned_width(width: int) -> int:
-    """Gathered width of an `gather_windows_aligned` row for a rect width."""
-    return 16 * ((width + 31 + 15) // 16)
+    """Gathered width of an `gather_windows_aligned` row for a rect width.
+
+    Must cover width + 31 shift columns AND be a multiple of 32 so both
+    the 16-crumb ref words and the 32-bit N-mask words reshape exactly."""
+    return 32 * ((width + 31 + 31) // 32)
 
 
 @partial(jax.jit, static_argnames=("width",))

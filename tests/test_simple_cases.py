@@ -1,0 +1,243 @@
+"""Table-driven differential cases transliterated from the reference's
+simple_tests.pl (scripts/test/simple_tests.pl:66+): tiny inline references
+and reads, run through BOTH our aligner and the reference bowtie2 binary,
+comparing the fields that define an alignment. Differential (live oracle)
+rather than embedded expectations — the same strategy the reference's own
+harness uses, with the reference binary as the oracle.
+
+Skipped when the reference build (.ref_build, gitignored) is absent.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from bowtie2_tpu.constants import encode_seq  # noqa: E402
+from bowtie2_tpu.index.build import build_index_from_refs  # noqa: E402
+from bowtie2_tpu.io.fastx import SeqRecord  # noqa: E402
+from bowtie2_tpu.pipeline.align import (PairedAligner,  # noqa: E402
+                                        UnpairedAligner)
+from bowtie2_tpu.pipeline.policy import SimpleFunc, make_policy  # noqa: E402
+
+REFBIN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".ref_build")
+
+# Each case: ref sequences, unpaired reads or pairs (seq[, qual]), policy
+# kwargs, and the simple_tests.pl section it's transliterated from.
+LAMBDA60 = ("GGGCGGCGACCTCGCGGGTTTTCGCTATTTATGAAAATTTTCCGGTTTAAGGCGTTTCCG")
+REF180 = (LAMBDA60
+          + "ACCTGACCAACAACCTGATTACGGCATCACAGTTGGCTGTTCAGGCAGATAACGGCTCAA"
+          + "TGCCTGTTGGCTACAGGTGCTAATCCAGCTACCGCCGTATTAGCTGGACTTGGTCTGAGC")
+CASES = [
+    # --- basic end-to-end hits (Fastq/Fasta sections) ---
+    dict(name="exact hit fw", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCGG"]),
+    dict(name="exact hit rc", ref=[LAMBDA60],
+         reads=["CCGGAAAATTTTCATAAATAGCGAAA"]),
+    dict(name="one mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"]),
+    dict(name="two mismatches", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGGTTTAAGGCGTATCC"]),
+    dict(name="no hit", ref=[LAMBDA60],
+         reads=["CACACACACACACACACACACACACA"]),
+    # --- N handling (simple_tests.pl "all Ns"/N-stretch section) ---
+    dict(name="read with one N", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGANAATTTTCCGG"]),
+    dict(name="read with many Ns filtered", ref=[LAMBDA60],
+         reads=["TTNCGCTANTTATGANAATTNTCCGG"]),
+    dict(name="ref leading Ns", ref=["N" * 20 + LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCGG"]),
+    dict(name="multi-ref with all-N first", ref=["N" * 40, LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCGG"]),
+    # --- trimming (-5/-3, Cline section) ---
+    dict(name="trim5", ref=[LAMBDA60],
+         reads=["ACGTTTTCGCTATTTATGAAAATTTTCCGG"], trim5=4),
+    dict(name="trim3", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCGGACGT"], trim3=4),
+    # --- scoring knobs (Scoring params section) ---
+    dict(name="--mp 3,3", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], mp=(3, 3)),
+    dict(name="--rdg 2,1 deletion", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTGAAAATTTTCCGGTTTAAGGC"], rdg=(2, 1)),
+    dict(name="--rfg 2,1 insertion", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTAAAATGAAAATTTTCCGGTTTAAGGC"], rfg=(2, 1)),
+    dict(name="--score-min strict", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"],
+         score_min=SimpleFunc.parse("L,0,-0.05")),
+    dict(name="--ignore-quals", ref=[LAMBDA60],
+         reads=[("TTTCGCTATTTCTGAAAATTTTCCGG", "!" * 26)],
+         ignore_quals=True),
+    # --- left-align gaps (Left-align section) ---
+    dict(name="left-align deletion in repeat",
+         ref=["ACGTACGTAAAAAAAAAACGTACGTACGTACGTAAGCAGCATCAG"],
+         reads=["ACGTACGTAAAAAAAAACGTACGTACGTACGTAAGCAGCATCAG"]),
+    dict(name="left-align insertion in repeat",
+         ref=["ACGTACGTAAAAAAAAACGTACGTACGTACGTAAGCAGCATCAG"],
+         reads=["ACGTACGTAAAAAAAAAACGTACGTACGTACGTAAGCAGCATCAG"]),
+    # --- local mode (Local alignment section) ---
+    dict(name="local soft clip",
+         ref=[LAMBDA60],
+         reads=["CCCCCC" + "TTTCGCTATTTATGAAAATTTTCCGG"], local=True),
+    dict(name="local both clips",
+         ref=[LAMBDA60],
+         reads=["CCCCCC" + "TTTCGCTATTTATGAAAATTTTCCGG" + "GGGGGG"],
+         local=True),
+    # --- qual scales ---
+    dict(name="phred64", ref=[LAMBDA60],
+         reads=[("TTTCGCTATTTCTGAAAATTTTCCGG", "h" * 26)], phred64=True),
+    # --- PE geometries (PE flags / orientation sections); REF180 is
+    # unique (no repeats) so these test geometry, not tie-breaking ---
+    dict(name="PE FR concordant", ref=[REF180],
+         pairs=[("GGGCGGCGACCTCGCGGGTTTTCGCTATTTAT",
+                 "GTAGCTGGATTAGCACCTGTAGCCAACAGGCA")]),
+    dict(name="PE RF", ref=[REF180],
+         pairs=[("GTAGCTGGATTAGCACCTGTAGCCAACAGGCA",
+                 "GGGCGGCGACCTCGCGGGTTTTCGCTATTTAT")], orient="rf"),
+    dict(name="PE FF", ref=[REF180],
+         pairs=[("GGGCGGCGACCTCGCGGGTTTTCGCTATTTAT",
+                 "TGCCTGTTGGCTACAGGTGCTAATCCAGCTAC")], orient="ff"),
+    dict(name="PE -I too small", ref=[REF180],
+         pairs=[("GGGCGGCGACCTCGCGGGTTTTCGCTATTTAT",
+                 "GTAGCTGGATTAGCACCTGTAGCCAACAGGCA")], minins=200),
+    dict(name="PE one mate unalignable", ref=[REF180],
+         pairs=[("GGGCGGCGACCTCGCGGGTTTTCGCTATTTAT",
+                 "CACACACACACACACACACACACACACACACA")]),
+]
+
+FIELDS = (0, 1, 2, 3, 4, 5, 6, 7, 8)   # qname..tlen
+
+
+def _mkrec(i, spec, phred64=False):
+    if isinstance(spec, tuple):
+        seq, qual = spec
+        q = np.frombuffer(qual.encode(), np.uint8) - (64 if phred64 else 33)
+    else:
+        seq = spec
+        q = np.full(len(seq), 30, np.uint8)
+    return SeqRecord(name=f"r{i}", seq=encode_seq(seq.encode()),
+                     qual=q.astype(np.uint8))
+
+
+def _ref_align(case, tmp):
+    """Run the reference binary on the case; return parsed core fields."""
+    fa = tmp / "ref.fa"
+    fa.write_text("".join(f">seq{i}\n{s}\n"
+                          for i, s in enumerate(case["ref"])))
+    idx = str(tmp / "idx")
+    subprocess.run([os.path.join(REFBIN, "bowtie2-build-s"), "-q",
+                    str(fa), idx], check=True, capture_output=True)
+    args = [os.path.join(REFBIN, "bowtie2-align-s"), "-x", idx, "--quiet"]
+    if case.get("local"):
+        args.append("--local")
+    if case.get("orient"):
+        args.append("--" + case["orient"])
+    if case.get("minins"):
+        args += ["-I", str(case["minins"])]
+    if case.get("mp"):
+        args += ["--mp", f"{case['mp'][0]},{case['mp'][1]}"]
+    if case.get("rdg"):
+        args += ["--rdg", f"{case['rdg'][0]},{case['rdg'][1]}"]
+    if case.get("rfg"):
+        args += ["--rfg", f"{case['rfg'][0]},{case['rfg'][1]}"]
+    if case.get("score_min"):
+        f = case["score_min"]
+        args += ["--score-min", f"L,{f.const:g},{f.coeff:g}"]
+    if case.get("ignore_quals"):
+        args.append("--ignore-quals")
+    if case.get("trim5"):
+        args += ["-5", str(case["trim5"])]
+    if case.get("trim3"):
+        args += ["-3", str(case["trim3"])]
+    if case.get("phred64"):
+        args.append("--phred64")
+
+    def q_of(spec):
+        if isinstance(spec, tuple):
+            return spec[1]
+        return chr(30 + (64 if case.get("phred64") else 33)) * len(spec)
+
+    if "pairs" in case:
+        for m in (0, 1):
+            fq = tmp / f"m{m}.fq"
+            fq.write_text("".join(
+                f"@r{i}\n{p[m]}\n+\n{q_of(p[m])}\n"
+                for i, p in enumerate(case["pairs"])))
+        args += ["-1", str(tmp / "m0.fq"), "-2", str(tmp / "m1.fq")]
+    else:
+        fq = tmp / "u.fq"
+        fq.write_text("".join(
+            f"@r{i}\n{r if isinstance(r, str) else r[0]}\n+\n{q_of(r)}\n"
+            for i, r in enumerate(case["reads"])))
+        args += ["-U", str(fq)]
+    res = subprocess.run(args, check=True, capture_output=True)
+    out = []
+    for line in res.stdout.decode().splitlines():
+        if line.startswith("@"):
+            continue
+        t = line.split("\t")
+        opts = dict((x.split(":", 2)[0], x.split(":", 2)[2]) for x in t[11:])
+        out.append((t[0], int(t[1]), t[2], int(t[3]), t[5],
+                    t[6], int(t[7]), int(t[8]),
+                    opts.get("AS"), opts.get("MD"), opts.get("YT")))
+    return sorted(out)
+
+
+def _our_align(case):
+    refs = [(f"seq{i}", encode_seq(s.encode()))
+            for i, s in enumerate(case["ref"])]
+    data = build_index_from_refs(refs)
+    kw = {}
+    for k in ("minins", "ignore_quals"):
+        if case.get(k):
+            kw[k] = case[k]
+    if case.get("orient"):
+        kw["mate_fw_rc"] = case["orient"]
+    if case.get("mp"):
+        kw["mm_pen_max"], kw["mm_pen_min"] = case["mp"]
+    if case.get("rdg"):
+        kw["read_gap_open"], kw["read_gap_extend"] = case["rdg"]
+    if case.get("rfg"):
+        kw["ref_gap_open"], kw["ref_gap_extend"] = case["rfg"]
+    if case.get("score_min"):
+        kw["score_min"] = case["score_min"]
+    pol = make_policy("sensitive", local=bool(case.get("local")), **kw)
+    t5, t3 = case.get("trim5", 0), case.get("trim3", 0)
+
+    def trim(rec):
+        if t5 or t3:
+            end = rec.seq.size - t3
+            return SeqRecord(rec.name, rec.seq[t5:end], rec.qual[t5:end])
+        return rec
+
+    out = []
+    if "pairs" in case:
+        al = PairedAligner(data, pol)
+        pairs = [(trim(_mkrec(i, p[0], case.get("phred64"))),
+                  trim(_mkrec(i, p[1], case.get("phred64"))))
+                 for i, p in enumerate(case["pairs"])]
+        recs = al.align_batch(pairs)
+    else:
+        al = UnpairedAligner(data, pol)
+        recs = al.align_batch(
+            [trim(_mkrec(i, r, case.get("phred64")))
+             for i, r in enumerate(case["reads"])])
+    for r in recs:
+        opts = dict((t, str(v)) for t, _ty, v in r.opts)
+        out.append((r.qname, r.flag, r.rname, r.pos, r.cigar,
+                    r.rnext, r.pnext, r.tlen,
+                    opts.get("AS"), opts.get("MD"), opts.get("YT")))
+    return sorted(out)
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(REFBIN,
+                                                    "bowtie2-align-s")),
+                    reason="reference binaries not present")
+@pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+def test_simple_case(case, tmp_path):
+    want = _ref_align(case, tmp_path)
+    got = _our_align(case)
+    assert got == want
