@@ -96,3 +96,27 @@ def test_collect_raw_matches_objects(rng):
         for (fl, line), o in zip(flat, objs):
             assert fl == o.flag
             assert line.decode() == o.line(), (line, o.line())
+
+
+def test_rescore_golden_outputs(rng):
+    """Property re-scorer (utils/rescore.py, ~ AlignmentCheck.pm): every
+    record we emit on a lambda subset re-derives cleanly from the genome
+    (AS, XM/XO/XG, MD, CIGAR read-length), e2e and local."""
+    import itertools
+    from bowtie2_tpu.index.build import build_index
+    from bowtie2_tpu.io.fastx import iter_reads, read_fasta
+    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    from bowtie2_tpu.pipeline.policy import make_policy
+    from bowtie2_tpu.utils.rescore import rescore_sam
+
+    fa = "/root/reference/example/reference/lambda_virus.fa"
+    refs = {n: c for n, c in read_fasta(fa)}
+    data = build_index(fa)
+    records = list(itertools.islice(
+        iter_reads("/root/reference/example/reads/reads_1.fq"), 512))
+    for local in (False, True):
+        pol = make_policy("sensitive", local=local)
+        al = UnpairedAligner(data, pol)
+        lines = [r.line() for r in al.align_batch(records)]
+        errs = rescore_sam(lines, refs, pol.sw_params())
+        assert not errs, errs[:5]
