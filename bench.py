@@ -1,15 +1,14 @@
 """Benchmark entry point (run by the driver on real TPU hardware).
 
-Metric: unpaired end-to-end alignment throughput (reads/s) on the bundled
-lambda-phage example (10k reads, 40-354 bp), default sensitive preset —
-the reference repo's own example workload (example/reads/reads_1.fq).
+Primary metric (the one JSON line on stdout): unpaired end-to-end
+throughput on the bundled lambda-phage example (10k reads, 40-354 bp),
+sensitive preset — the reference repo's own example workload.
 
-vs_baseline compares against the reference bowtie2-align-s single-thread
-on this container's CPU (measured: 10k reads in ~0.85 s ≈ 11,700 reads/s;
-see BASELINE.md — the repo publishes no absolute numbers, so the locally
-built binary is the baseline).
-
-Prints exactly one JSON line.
+Also measured when the corpora exist (written to BENCH_EXTRA.json and
+stderr): E. coli-scale 100k x 100 bp SE and 50k x 2x100 bp PE throughput
+(BASELINE.json configs 2-3). vs_baseline always compares against the
+reference bowtie2-align-s single-thread on this host's CPU (measured
+uncontended; see BASELINE.md).
 """
 
 import json
@@ -18,6 +17,13 @@ import sys
 import time
 
 REF_READS_PER_SEC = 18300.0   # bowtie2-align-s -p1, this host, lambda 10k (0.545s)
+REF_ECOLI_SE_RPS = 19010.0    # -p1, 100k x 100bp sim reads (5.26s), this host
+REF_ECOLI_PE_PPS = 5377.0     # -p1, 50k sim pairs (9.30s), this host
+ECOLI_FA = "/tmp/ecoli_sim.fa"
+ECOLI_SE = "/tmp/ecoli_se.fq"
+ECOLI_PE1 = "/tmp/ecoli_1.fq"
+ECOLI_PE2 = "/tmp/ecoli_2.fq"
+ECOLI_IDX = "/tmp/bench_ecoli_idx"
 LAMBDA_FA = "/root/reference/example/reference/lambda_virus.fa"
 LAMBDA_READS = "/root/reference/example/reads/reads_1.fq"
 IDX_PREFIX = "/tmp/bench_lambda_idx"
@@ -63,6 +69,53 @@ def main():
         dt = time.time() - t0
         best = max(best, n / dt)
     rps = best
+
+    # ---- E. coli-scale extras (BASELINE.json configs 2-3) ----
+    extra = {}
+    if os.path.exists(ECOLI_FA) and os.path.exists(ECOLI_SE):
+        try:
+            if not os.path.exists(ECOLI_IDX + ".bt2t.json"):
+                save_index(build_index(ECOLI_FA), ECOLI_IDX)
+            edata = load_index(ECOLI_IDX)
+            ereads = list(iter_reads(ECOLI_SE))
+            ea = UnpairedAligner(edata, make_policy("sensitive"))
+            hs = [ea.submit(ereads[k:k + 8192])
+                  for k in range(0, len(ereads), 8192)]
+            for h in hs:
+                ea.collect_raw(h)          # warmup/compile pass
+            t0 = time.time()
+            ea2 = UnpairedAligner(edata, make_policy("sensitive"))
+            hs = [ea2.submit(ereads[k:k + 8192])
+                  for k in range(0, len(ereads), 8192)]
+            for h in hs:
+                ea2.collect_raw(h)
+            se_rps = len(ereads) / (time.time() - t0)
+            extra["ecoli_se_reads_per_sec"] = round(se_rps, 1)
+            extra["ecoli_se_vs_baseline"] = round(se_rps / REF_ECOLI_SE_RPS, 4)
+        except Exception as e:
+            extra["ecoli_se_error"] = str(e)[:200]
+        try:
+            from bowtie2_tpu.pipeline.align import PairedAligner
+            pairs = list(zip(iter_reads(ECOLI_PE1), iter_reads(ECOLI_PE2)))
+            pa = PairedAligner(edata, make_policy("sensitive"))
+            for k in range(0, len(pairs), 2048):
+                pa.align_batch(pairs[k:k + 2048])   # warmup
+                break
+            t0 = time.time()
+            pa2 = PairedAligner(edata, make_policy("sensitive"))
+            for k in range(0, len(pairs), 2048):
+                pa2.align_batch(pairs[k:k + 2048])
+            pe_pps = len(pairs) / (time.time() - t0)
+            extra["ecoli_pe_pairs_per_sec"] = round(pe_pps, 1)
+            extra["ecoli_pe_vs_baseline"] = round(pe_pps / REF_ECOLI_PE_PPS, 4)
+        except Exception as e:
+            extra["ecoli_pe_error"] = str(e)[:200]
+        if extra:
+            print(json.dumps(extra), file=sys.stderr)
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_EXTRA.json"), "w") as f:
+                json.dump(extra, f)
+
     print(json.dumps({
         "metric": "lambda_unpaired_e2e_reads_per_sec",
         "value": round(rps, 1),
