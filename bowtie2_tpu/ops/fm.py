@@ -24,8 +24,9 @@ Performance notes (measured on TPU v5e):
     steps, SA walks scan 2^offrate steps).
   * Tiny tables (fchr, 5 entries) are reduced with masked sums, not gathers.
 
-All row indices are int32 (genomes < 2 GiB joined; the int64 ".bt2l"
-equivalent is a planned dtype switch, reference btypes.h).
+Row indices follow the index's row dtype: int32 for genomes below 2^31
+joined bp, int64 for the ".bt2l"-analog large mode (reference btypes.h) —
+kernels derive it via FMHalf.row_dtype.
 """
 
 from functools import partial
