@@ -15,7 +15,7 @@ def cmd_build(argv):
     ap = argparse.ArgumentParser(prog="bt2x build")
     ap.add_argument("fasta", help="comma-separated FASTA file(s)")
     ap.add_argument("prefix")
-    ap.add_argument("-o", "--offrate", type=int, default=5)
+    ap.add_argument("-o", "--offrate", type=int, default=4)
     ap.add_argument("-t", "--ftabchars", type=int, default=10)
     ap.add_argument("--threads", type=int, default=1)   # build is vectorized
     ap.add_argument("-f", action="store_true")          # input is FASTA (always)

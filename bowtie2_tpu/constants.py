@@ -39,7 +39,10 @@ def revcomp(codes: np.ndarray) -> np.ndarray:
 
 # ---- index geometry defaults (values match reference defaults where they
 # ---- are user-visible: offrate 5, ftabchars 10; block size is ours) ----
-OFF_RATE = 5                 # SA sampled every 2^5 = 32 text positions
+OFF_RATE = 4                 # SA sampled every 2^4 = 16 text positions: the
+                             # resolve walk is scan-step-bound on TPU, so a
+                             # denser sample (vs the reference default 5)
+                             # halves its steps for modest offs[] memory
 FTAB_CHARS = 10              # ftab lookup prefix length (bt2_idx.h ftabChars)
 OCC_BLOCK = 128              # bases per occ checkpoint block
 WORDS_PER_BLOCK = OCC_BLOCK // 16   # 16 bases per uint32 word

@@ -105,7 +105,7 @@ def test_sa_sample_and_segments(rng):
         [refs[0][1][refs[0][1] < 4], refs[1][1][refs[1][1] < 4]])
     assert h.n == joined.size
     sa = suffix_array_doubling(joined)
-    marked = (sa % 32) == 0
+    marked = (sa % (1 << data.off_rate)) == 0
     np.testing.assert_array_equal(h.offs, sa[marked])
     # joined→global→ref mapping round trip
     jpos = np.arange(h.n)
