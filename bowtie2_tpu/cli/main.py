@@ -90,6 +90,7 @@ def _build_align_parser():
     ap.add_argument("--nofw", action="store_true")
     ap.add_argument("--norc", action="store_true")
     ap.add_argument("--no-1mm-upfront", action="store_true")
+    ap.add_argument("--xeq", action="store_true")
     ap.add_argument("--end-to-end", dest="local", action="store_false",
                     default=None)
     ap.add_argument("--local", dest="local", action="store_true")
@@ -190,7 +191,7 @@ def cmd_align(argv):
     for flag, attr in (("norc", "norc"), ("nofw", "nofw"),
                        ("no_mixed", "no_mixed"),
                        ("no_discordant", "no_discordant"),
-                       ("no_1mm_upfront", "no_1mm"),
+                       ("no_1mm_upfront", "no_1mm"), ("xeq", "xeq"),
                        ("ignore_quals", "ignore_quals")):
         if getattr(args, flag):
             overrides[attr] = True
@@ -319,11 +320,19 @@ def cmd_align(argv):
 
     # --un/--al read dumps (reference: wrapper-script splitting)
     from bowtie2_tpu.io.sam import FLAG_UNMAPPED, write_fastq_record
-    un_f = open(args.un, "w") if args.un else None
-    al_f = open(args.al, "w") if args.al else None
-    unc_f = [open(args.un_conc.replace("%", str(m)), "w")
+    def _dump_open(path):
+        # --un/--al(-conc) accept .gz targets (reference wrapper's
+        # --un-gz etc.); plain text otherwise
+        if path.endswith(".gz"):
+            import gzip
+            return gzip.open(path, "wt")
+        return open(path, "w")
+
+    un_f = _dump_open(args.un) if args.un else None
+    al_f = _dump_open(args.al) if args.al else None
+    unc_f = [_dump_open(args.un_conc.replace("%", str(m)))
              for m in (1, 2)] if args.un_conc else None
-    alc_f = [open(args.al_conc.replace("%", str(m)), "w")
+    alc_f = [_dump_open(args.al_conc.replace("%", str(m)))
              for m in (1, 2)] if args.al_conc else None
 
     from bowtie2_tpu.utils.metrics import MetricsSink

@@ -38,7 +38,7 @@ static inline char *put_u32(char *p, uint32_t v) {
  * least `bound` entries. Returns 0, or -1 on overflow. */
 static int decode_one(const uint8_t *ops_col, long stride, int bound,
                       int read_start, int read_end, int read_len,
-                      const int8_t *read,
+                      const int8_t *read, int xeq,
                       uint8_t *opsk, uint8_t *refc, uint8_t *ismatch,
                       char *cigar, int cigar_cap,
                       char *md, int md_cap) {
@@ -97,16 +97,21 @@ static int decode_one(const uint8_t *ops_col, long stride, int bound,
         }
     }
 
-    /* CIGAR: run-length with soft clips */
+    /* CIGAR: run-length with soft clips; --xeq splits M into '='/'X' */
     char *p = cigar, *pend = cigar + cigar_cap - 16;
     if (read_start > 0) { p = put_u32(p, (uint32_t)read_start); *p++ = 'S'; }
     int i = 0;
     while (i < n) {
         int j = i;
-        while (j + 1 < n && opsk[j + 1] == opsk[i]) j++;
+        int key = xeq && opsk[i] == OP_M ? ismatch[i] : 2;
+        while (j + 1 < n && opsk[j + 1] == opsk[i] &&
+               (xeq && opsk[i] == OP_M ? ismatch[j + 1] : 2) == key) j++;
         if (p >= pend) return -1;
         p = put_u32(p, (uint32_t)(j - i + 1));
-        *p++ = "MID"[opsk[i]];
+        if (xeq && opsk[i] == OP_M)
+            *p++ = ismatch[i] ? '=' : 'X';
+        else
+            *p++ = "MID"[opsk[i]];
         i = j + 1;
     }
     if (read_end < read_len) {
@@ -156,7 +161,8 @@ int cigar_md_batch(const uint8_t *ops, int64_t S, int64_t Bc,
                    const int32_t *cols, const int32_t *read_start,
                    const int32_t *read_end, const int32_t *read_len,
                    const int32_t *bound, const int8_t *reads, int64_t Lmax,
-                   int64_t n, char *cigar_out, int64_t cigar_stride,
+                   int64_t n, int xeq,
+                   char *cigar_out, int64_t cigar_stride,
                    char *md_out, int64_t md_stride) {
     int bad = 0;
     /* work buffers sized by the max possible walk length */
@@ -168,7 +174,7 @@ int cigar_md_batch(const uint8_t *ops, int64_t S, int64_t Bc,
         if (b > MAXOPS) { bad++; cigar_out[r * cigar_stride] = 0;
                           md_out[r * md_stride] = 0; continue; }
         if (decode_one(ops + cols[r], Bc, b, read_start[r], read_end[r],
-                       read_len[r], reads + r * Lmax,
+                       read_len[r], reads + r * Lmax, xeq,
                        opsk, refc, ismatch,
                        cigar_out + r * cigar_stride, (int)cigar_stride,
                        md_out + r * md_stride, (int)md_stride) != 0) {
@@ -211,7 +217,7 @@ int sam_tails_batch(const int8_t *mode,
                     const int32_t *cols, const int32_t *read_start,
                     const int32_t *read_end, const int32_t *bound,
                     const char *names, const int32_t *name_off,
-                    const char *suffix, int64_t n,
+                    const char *suffix, int64_t n, int xeq,
                     char *out, int64_t stride, int32_t *outlen) {
     enum { MAXOPS = 32768 };
     uint8_t opsk[MAXOPS], refc[MAXOPS], ismatch[MAXOPS];
@@ -234,7 +240,7 @@ int sam_tails_batch(const int8_t *mode,
             int b = bound[r] < (int)S ? bound[r] : (int)S;
             if (b > MAXOPS ||
                 decode_one(ops + cols[r], Bc, b, read_start[r], read_end[r],
-                           L, codes + r * Lmax, opsk, refc, ismatch,
+                           L, codes + r * Lmax, xeq, opsk, refc, ismatch,
                            cig, sizeof cig, md, sizeof md) != 0) {
                 outlen[r] = 0; bad++; continue;
             }

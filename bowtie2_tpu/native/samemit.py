@@ -21,7 +21,7 @@ _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _lib.cigar_md_batch.argtypes = [
     _u8p, ctypes.c_int64, ctypes.c_int64,
     _i32p, _i32p, _i32p, _i32p, _i32p, _i8p, ctypes.c_int64,
-    ctypes.c_int64,
+    ctypes.c_int64, ctypes.c_int,
     ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
 ]
 
@@ -29,7 +29,8 @@ _lib.cigar_md_batch.argtypes = [
 def cigar_md_batch(ops: np.ndarray, cols: np.ndarray,
                    read_start: np.ndarray, read_end: np.ndarray,
                    read_len: np.ndarray, bound: np.ndarray,
-                   reads: np.ndarray) -> Tuple[List[str], List[str]]:
+                   reads: np.ndarray, xeq: bool = False
+                   ) -> Tuple[List[str], List[str]]:
     """Decode CIGAR+MD for n records.
 
     ops: (S, Bc) uint8 device backtrace output; cols: (n,) column per
@@ -52,7 +53,7 @@ def cigar_md_batch(ops: np.ndarray, cols: np.ndarray,
         np.ascontiguousarray(read_end, np.int32),
         np.ascontiguousarray(read_len, np.int32),
         np.ascontiguousarray(bound, np.int32),
-        reads, Lmax, n, cig, cigar_stride, md, md_stride)
+        reads, Lmax, n, int(xeq), cig, cigar_stride, md, md_stride)
     if bad:
         raise RuntimeError(f"cigar_md_batch: {bad} records overflowed")
     raw_c, raw_m = cig.raw, md.raw
@@ -76,6 +77,7 @@ _lib.sam_tails_batch.argtypes = [
     _i32p, _i32p, _i32p, _i32p,             # cols read_start read_end bound
     ctypes.c_char_p, _i32p,                 # names name_off
     ctypes.c_char_p, ctypes.c_int64,        # suffix n
+    ctypes.c_int,                           # xeq
     ctypes.c_char_p, ctypes.c_int64, _i32p,  # out stride outlen
 ]
 
@@ -98,7 +100,8 @@ class RefNameTable:
 def sam_tails_batch(mode, flag, rname_i, pos, mapq, opt_as, opt_xs,
                     xn, xm, xo, xg, codes, quals, rdlen,
                     ops, cols, read_start, read_end, bound,
-                    names: RefNameTable, suffix: bytes):
+                    names: RefNameTable, suffix: bytes,
+                    xeq: bool = False):
     """Build SAM line tails (everything after QNAME) for n records.
 
     Returns a list of bytes objects (one per record)."""
@@ -120,7 +123,7 @@ def sam_tails_batch(mode, flag, rname_i, pos, mapq, opt_as, opt_xs,
         codes, quals, a32(rdlen), Lmax,
         ops, ops.shape[0], ops.shape[1],
         a32(cols), a32(read_start), a32(read_end), a32(bound),
-        names.blob, names.offs, suffix, n, out, stride, outlen)
+        names.blob, names.offs, suffix, n, int(xeq), out, stride, outlen)
     if bad:
         raise RuntimeError(f"sam_tails_batch: {bad} records overflowed")
     raw = out.raw

@@ -575,7 +575,7 @@ class BatchAligner:
             cigar_ops = []
             if sc["read_start"] > 0:
                 cigar_ops.append(("S", sc["read_start"]))
-            cigar_ops.append(("M", span))
+            cigar_ops.append(("=" if self.pol.xeq else "M", span))
             if read_end < L:
                 cigar_ops.append(("S", L - read_end))
             md = str(span)
@@ -586,7 +586,8 @@ class BatchAligner:
             cigar_ops, md = cigar_md_from_packed(opcol[:bound],
                                                  sc["read_start"],
                                                  read_end, L,
-                                                 read=read_codes)
+                                                 read=read_codes,
+                                                 xeq=self.pol.xeq)
         r_id = int(pool.rid[k])
         g_start = int(pool.win_start[k]) + sc["ref_start_win"]
         roff = g_start - int(self.data.ref_cum[r_id])
@@ -1079,7 +1080,7 @@ class UnpairedAligner(BatchAligner):
             from bowtie2_tpu.native.samemit import cigar_md_batch
             cigars, mds = cigar_md_batch(
                 ops, cis, ch_rdstart[cis], ch_rdend[cis], L_arr,
-                bound_n, codes_n)
+                bound_n, codes_n, xeq=pol.xeq)
         except Exception:
             cigars, mds = [], []
             for t, ci in enumerate(cis.tolist()):
@@ -1268,7 +1269,7 @@ class UnpairedAligner(BatchAligner):
             np.concatenate([ch_rdend[cis], z[nal:]]),
             np.concatenate([(ch_rdend[cis] - ch_rdstart[cis])
                             + ch_ngc[cis] + 1, z[nal:]]),
-            self._names_tab, suffix)
+            self._names_tab, suffix, xeq=self.pol.xeq)
 
         # group per read, aligned ranks ascending
         groups: List[List[Tuple[int, bytes]]] = [[] for _ in range(B)]

@@ -21,7 +21,8 @@ _REF_CHARS = "ACGTN?"
 
 
 def cigar_md_from_packed(opcol: np.ndarray, read_start: int, read_end: int,
-                         read_len: int, read: np.ndarray = None
+                         read_len: int, read: np.ndarray = None,
+                         xeq: bool = False
                          ) -> Tuple[List[Tuple[str, int]], str]:
     """Decode one device-backtrace op column → (CIGAR ops, MD:Z string).
 
@@ -46,10 +47,15 @@ def cigar_md_from_packed(opcol: np.ndarray, read_start: int, read_end: int,
     if read_start > 0:
         cigar.append(("S", int(read_start)))
     if opsk.size:
-        change = np.nonzero(np.diff(opsk))[0]
+        # --xeq splits M runs into '='/'X' by the match bit
+        key = opsk * 4 + np.where((opsk == 0) & xeq, ismatch, 2)
+        change = np.nonzero(np.diff(key))[0]
         bounds = np.concatenate([[0], change + 1, [opsk.size]])
         for s, e in zip(bounds[:-1], bounds[1:]):
-            cigar.append(("MID"[int(opsk[s])], int(e - s)))
+            op = "MID"[int(opsk[s])]
+            if xeq and op == "M":
+                op = "=" if ismatch[s] else "X"
+            cigar.append((op, int(e - s)))
     if read_end < read_len:
         cigar.append(("S", int(read_len - read_end)))
 

@@ -85,6 +85,7 @@ class Policy:
     seed_len: int = 22
     seed_mms: int = 0
     no_1mm: bool = False          # --no-1mm-upfront: skip the 1-mm phase
+    xeq: bool = False             # --xeq: CIGAR '='/'X' instead of 'M'
     seed_rounds: int = 2          # -R
     fail_streak: int = 15         # -D
     # reporting
