@@ -106,8 +106,11 @@ static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
         if (p == n - 1 || is_lms(ty, p)) sorted[j++] = p;
     }
     i64 nlms = j;           /* == m + 1 (sentinel) */
-    i64 *name_of = (i64 *)malloc((size_t)n * sizeof(i64));
-    if (!name_of) { free(ty); free(B); return -2; }
+    /* names live in the unused upper region of SA (classic trick: LMS
+     * positions are >= 2 apart, so p>>1 slots are unique and
+     * nlms + (n-1)/2 < n) — avoids an 8n-byte name array, which OOM'd
+     * multi-gigabase builds */
+    i64 *name_buf = SA + nlms;
     i64 name = 0, prev = -1;
     for (i = 0; i < nlms; i++) {
         i64 p = sorted[i];
@@ -129,7 +132,7 @@ static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
             }
         }
         if (diff) { name++; prev = p; }
-        name_of[p] = name - 1;
+        name_buf[p >> 1] = name - 1;
     }
 
     /* reduced string: names of LMS positions in text order */
@@ -137,15 +140,17 @@ static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
     i64 *lms_pos = (i64 *)malloc((size_t)nlms * sizeof(i64));
     i64 *red_sa = (i64 *)malloc((size_t)nlms * sizeof(i64));
     if (!red || !lms_pos || !red_sa) {
-        free(ty); free(B); free(name_of); free(red); free(lms_pos);
+        free(ty); free(B); free(red); free(lms_pos);
         free(red_sa);
         return -2;
     }
     j = 0;
     for (i = 0; i < n; i++) {
-        if (i == n - 1 || is_lms(ty, i)) { lms_pos[j] = i; red[j++] = name_of[i]; }
+        if (i == n - 1 || is_lms(ty, i)) {
+            lms_pos[j] = i;
+            red[j++] = name_buf[i >> 1];
+        }
     }
-    free(name_of);
 
     if (name < nlms) {
         struct view rv = { red, 1 };
