@@ -3,7 +3,8 @@
 Counterpart of the reference's pat.h/pat.cpp parser family (FASTQ pat.h:771,
 FASTA pat.h:556). The reference parses one lightly-locked batch at a time per
 thread; here parsing is a host-side generator feeding fixed-shape padded
-batches to the device pipeline (see bowtie2_tpu/io/batch.py).
+batches to the device pipeline (pipeline/align.py pad_reads + the CLI's
+length-bucketed windowing, cli/main.py).
 
 Supports plain and gzip files (by extension / magic byte).
 """
@@ -23,6 +24,7 @@ class SeqRecord:
     name: str
     seq: np.ndarray   # uint8 codes 0..4
     qual: np.ndarray  # uint8 phred scores (0..41+); 40s if FASTA
+    qc_fail: bool = False  # upstream QC flag (qseq field 11 + --qc-filter)
 
 
 def _open_text(path: str):
@@ -256,22 +258,20 @@ def iter_qseq(path: str, qual_offset: int = 64, _fh=None,
               qc_filter: bool = False) -> Iterator[SeqRecord]:
     """Illumina qseq format (reference read_qseq.cpp): 11 tab fields;
     name built from machine_run_lane_tile_x_y, '.' means N. With
-    qc_filter, reads whose QC field (11th) is 0 are replaced by empty
-    reads (the reference's --qc-filter marks them filtered-out, and empty
-    reads take the filtered path downstream)."""
+    qc_filter, reads whose QC field (11th) is 0 keep their bases/quals but
+    are marked qc_fail: downstream they take the filtered path and emit
+    YF:Z:QC with the real SEQ/QUAL (reference bt2_search.cpp:3405-3408,
+    aligner_result.cpp:1100)."""
     with (_fh or _open_text(path)) as f:
         for line in f:
             t = line.rstrip(b"\r\n").split(b"\t")
             if len(t) < 11:
                 continue
             name = b"_".join(t[0:6]).decode()
-            if qc_filter and t[10] == b"0":
-                yield SeqRecord(name=name, seq=encode_seq(b""),
-                                qual=_qual_codes(b"", qual_offset))
-                continue
             seq = t[8].replace(b".", b"N")
             yield SeqRecord(name=name, seq=encode_seq(seq),
-                            qual=_qual_codes(t[9], qual_offset))
+                            qual=_qual_codes(t[9], qual_offset),
+                            qc_fail=qc_filter and t[10] == b"0")
 
 
 def iter_fasta_continuous(path: str, k: int, ival: int, _fh=None

@@ -14,6 +14,7 @@
 
 #include <stdint.h>
 #include <stdio.h>
+#include <stdlib.h>
 #include <string.h>
 
 #define OP_M 0
@@ -197,7 +198,8 @@ static inline char *put_i32(char *p, int32_t v) {
 
 /* Build SAM line tails (everything after QNAME) for n records.
  *
- * mode[r]: 0 = unaligned, 1 = aligned, 2 = unaligned w/ YF:Z:NS.
+ * mode[r]: 0 = unaligned, 1 = aligned, 2..5 = unaligned + filter reason
+ * YF:Z:{NS,LN,QC,SC} (reference aligner_result.cpp:1097-1101).
  * rname_i[r]: index into the refnames table (aligned records).
  * opt_xs[r]: INT32_MIN means "omit XS".
  * codes/quals: (n, Lmax) oriented read codes / phred quals.
@@ -220,8 +222,14 @@ int sam_tails_batch(const int8_t *mode,
                     const char *suffix, int64_t n, int xeq,
                     char *out, int64_t stride, int32_t *outlen) {
     enum { MAXOPS = 32768 };
-    uint8_t opsk[MAXOPS], refc[MAXOPS], ismatch[MAXOPS];
-    static char cig[4 * MAXOPS + 64], md[4 * MAXOPS + 64];
+    /* per-call scratch (malloc'd, ~460 KB): BatchAligner.align_batch is
+     * documented thread-safe, so no function-static state here */
+    uint8_t *scratch = (uint8_t *)malloc(3 * MAXOPS + 2 * (4 * MAXOPS + 64));
+    if (!scratch) return (int)n;
+    uint8_t *opsk = scratch, *refc = scratch + MAXOPS,
+            *ismatch = scratch + 2 * MAXOPS;
+    char *cig = (char *)(scratch + 3 * MAXOPS);
+    char *md = cig + 4 * MAXOPS + 64;
     int bad = 0;
     size_t suffix_len = strlen(suffix);
     for (int64_t r = 0; r < n; r++) {
@@ -241,7 +249,7 @@ int sam_tails_batch(const int8_t *mode,
             if (b > MAXOPS ||
                 decode_one(ops + cols[r], Bc, b, read_start[r], read_end[r],
                            L, codes + r * Lmax, xeq, opsk, refc, ismatch,
-                           cig, sizeof cig, md, sizeof md) != 0) {
+                           cig, 4 * MAXOPS + 64, md, 4 * MAXOPS + 64) != 0) {
                 outlen[r] = 0; bad++; continue;
             }
             size_t cl = strlen(cig);
@@ -273,11 +281,16 @@ int sam_tails_batch(const int8_t *mode,
             memcpy(p, "\tYT:Z:UU", 8); p += 8;
         } else {
             memcpy(p, "\tYT:Z:UU", 8); p += 8;
-            if (mode[r] == 2) { memcpy(p, "\tYF:Z:NS", 8); p += 8; }
+            if (mode[r] >= 2 && mode[r] <= 5) {
+                static const char *YF[4] = { "NS", "LN", "QC", "SC" };
+                memcpy(p, "\tYF:Z:", 6); p += 6;
+                memcpy(p, YF[mode[r] - 2], 2); p += 2;
+            }
         }
         memcpy(p, suffix, suffix_len); p += suffix_len;
         outlen[r] = (int32_t)(p - (out + r * stride));
     }
+    free(scratch);
     return bad;
 }
 

@@ -219,6 +219,7 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
     "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm"))
 def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
              jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
+             live_or=None,
              *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
              half_ftab: int, period: int, T: int, kk: int, kk_bt: int,
              NC: int, n1: bool, max_exact_rows: int = 4,
@@ -228,6 +229,8 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     jboth/jquals: (2B, Lmax) int32 fw+rc codes / quals; lens: (B,);
     offs_all/valid_all: (2B, smax) instantiated seed offsets (fw rows then
     rc rows); minsc: (B,) int32; live_read: (B,) bool (filters applied).
+    live_or: optional (2B,) bool per-orientation-row liveness (--nofw/--norc
+    strand suppression: rows < B fw, >= B rc; bt2_search.cpp:3418-3424).
     kk = ranked slots returned per read (khits+1 capped to T); kk_bt =
     slots backtraced per read; NC = DP problem budget (static).
     """
@@ -306,9 +309,14 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
             [halfs2, jnp.zeros((B2, 2 * smax), bool)], axis=1)
 
     # ---------------- phase 3a: slot assembly ----------------
+    sweep_bot = sweep.bot
+    if live_or is not None:
+        # strand suppression: dead orientation rows get empty SA ranges
+        sweep_bot = jnp.where(live_or, sweep_bot, sweep.top)
+        bots2 = jnp.where(live_or[:, None], bots2, tops2)
     (slot_valid, slot_row, slot_or, slot_off, slot_exact, slot_mlen,
      slot_half) = _assemble_slots(
-        B, T, lens, live_read, sweep.top, sweep.bot, sweep.nedit,
+        B, T, lens, live_read, sweep.top, sweep_bot, sweep.nedit,
         tops2, bots2, offs2, mlens2, halfs2, max_exact_rows)
 
     # ---------------- phase 3b: SA resolution of every slot ----------------

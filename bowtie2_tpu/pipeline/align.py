@@ -209,6 +209,7 @@ class CandSet:
     minsc: np.ndarray
     perfect: np.ndarray
     filtered: np.ndarray
+    yf: np.ndarray = None         # (B,) int8 filter-reason codes (YF_*)
     jboth: object = None          # device (2B, Lmax) int8 fw+rc reads
     jquals: object = None         # device (2B, Lmax) int8 quals fw+rev
     n_cand: int = 0
@@ -271,6 +272,63 @@ class BatchAligner:
         import jax
         return jax.device_put(np.asarray(a), self._batch_sharding)
 
+    # YF filter-reason codes (= native samemit mode values)
+    YF_NS, YF_LN, YF_QC, YF_SC = 2, 3, 4, 5
+    YF_STR = {0: None, 2: "NS", 3: "LN", 4: "QC", 5: "SC"}
+
+    def _filters(self, records, lens, n_count, nceil, minsc):
+        """Pre-alignment read filters → (filtered, yf_codes).
+
+        Reference predicates (bt2_search.cpp:3385-3408): length filter
+        (rdlen <= -N mms or < 2), N filter (Ns > nceil), score filter
+        (perfect score < minsc), upstream QC (--qc-filter). YF priority
+        LN > NS > SC > QC (aligner_result.cpp:1097-1101)."""
+        pol = self.pol
+        lenf = (lens <= pol.seed_mms) | (lens < 2)
+        nsf = n_count > nceil
+        scf = lens.astype(np.int64) * pol.match_bonus < minsc
+        qcf = np.zeros(lens.size, bool)
+        for i, r in enumerate(records):
+            if getattr(r, "qc_fail", False):
+                qcf[i] = True
+        yf = np.where(lenf, self.YF_LN,
+                      np.where(nsf, self.YF_NS,
+                               np.where(scf, self.YF_SC,
+                                        np.where(qcf, self.YF_QC, 0))))
+        return lenf | nsf | scf | qcf, yf.astype(np.int8)
+
+    def _live_orient(self, B: int, paired: bool) -> Optional[np.ndarray]:
+        """--nofw/--norc per-orientation-row liveness, or None if both live.
+
+        Rows < B are fw-orientation, >= B rc. In paired mode the flags
+        pertain to the FRAGMENT, so each mate's suppression flips with its
+        expected orientation (bt2_search.cpp:3418-3424: nofw[mate] =
+        matefw ? gNofw : gNorc). Paired row layout: mate1 reads occupy
+        read indices [0, B/2), mate2 [B/2, B)."""
+        pol = self.pol
+        if not (pol.nofw or pol.norc):
+            return None
+        live = np.ones(2 * B, bool)
+        if not paired:
+            if pol.nofw:
+                live[:B] = False
+            if pol.norc:
+                live[B:] = False
+            return live
+        nb = B // 2
+        m1fw = pol.mate_fw_rc[0] == "f"
+        m2fw = pol.mate_fw_rc[1] == "f"
+        for mate, matefw in ((0, m1fw), (1, m2fw)):
+            nofw_m = pol.nofw if matefw else pol.norc
+            norc_m = pol.norc if matefw else pol.nofw
+            sl_fw = slice(mate * nb, (mate + 1) * nb)
+            sl_rc = slice(B + mate * nb, B + (mate + 1) * nb)
+            if nofw_m:
+                live[sl_fw] = False
+            if norc_m:
+                live[sl_rc] = False
+        return live
+
     # ---------------- phases 1-5a: search → scored candidates ----------------
     def _search_candidates(self, records: Sequence[SeqRecord],
                            paired: bool = False) -> CandSet:
@@ -288,11 +346,11 @@ class BatchAligner:
         nceil = np.array([pol.nceil(int(l)) if l else 0
                           for l in ulen], np.int32)[inv]
         n_count = (fw >= 4).sum(axis=1) - (Lmax - lens)
-        filtered = (lens == 0) | (n_count > nceil)
+        filtered, yf = self._filters(records, lens, n_count, nceil, minsc)
 
         cs = CandSet(B=B, Lmax=Lmax, lens=lens, fw=fw, qu=qu, rc=rc,
                      qu_r=qu_r, minsc=minsc, perfect=perfect,
-                     filtered=filtered)
+                     filtered=filtered, yf=yf)
         import time as _time
         _t = _time.time()
 
@@ -360,6 +418,12 @@ class BatchAligner:
             t_search=_time.time() - _t,
             fm_lf_steps=2 * B * Lmax + seed_off.size * 12 + 2 * B * (Lmax // 2))
         _t = _time.time()
+
+        # --nofw/--norc: suppressed orientation rows get empty SA ranges
+        live_or = self._live_orient(B, paired)
+        if live_or is not None:
+            sw_bot = np.where(live_or, sw_bot, sw_top)
+            seed_bot = np.where(live_or[:, None], seed_bot, seed_top)
 
         # phase 3: rank + resolve
         (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
@@ -599,10 +663,12 @@ class BatchAligner:
                  ("XM", "i", sc["n_mm"]),
                  ("XO", "i", sc["n_go"]),
                  ("XG", "i", sc["n_gc"]),
-                 ("NM", "i", sc["n_mm"] + sc["n_gc"])]
+                 ("NM", "i", sc["n_mm"] + sc["n_gc"]),
+                 ("MD", "Z", md)]
+        # reference field order: MD precedes YS (sam.cpp printOptFlags)
         if ys is not None:
             opts.append(("YS", "i", ys))
-        opts += [("MD", "Z", md), ("YT", "Z", yt)]
+        opts.append(("YT", "Z", yt))
         return SamAlignment(
             qname=rec.name, flag=flag, rname=self.data.ref_names[r_id],
             pos=roff + 1, mapq=mapq, cigar=cigar_string(cigar_ops),
@@ -955,6 +1021,7 @@ class FusedBatch:
     minsc: np.ndarray
     perfect: np.ndarray
     filtered: np.ndarray
+    yf: np.ndarray               # (Bp,) int8 filter-reason codes (YF_*)
     blob: object                 # device (S*Bc + 4*meta,) uint8
 
 
@@ -995,7 +1062,7 @@ class UnpairedAligner(BatchAligner):
         nceil = np.array([pol.nceil(int(l)) if l else 0
                           for l in ulen], np.int32)[inv]
         n_count = (fw >= 4).sum(axis=1) - (Lmax - lens)
-        filtered = (lens == 0) | (n_count > nceil)
+        filtered, yf = self._filters(records, lens, n_count, nceil, minsc)
         live = ~filtered & (lens > 0)
 
         offs_all, valid_all = self._seed_offsets(lens)
@@ -1011,11 +1078,13 @@ class UnpairedAligner(BatchAligner):
         both = np.concatenate([fw, rc], axis=0)
         jboth = self._put(both).astype(jnp.int32)
         jquals = self._put(np.concatenate([qu, qu_r], axis=0)).astype(jnp.int32)
+        live_or = self._live_orient(Bp, paired=False)
         res = fused_se(
             self.idx.fw, self.idx.ref_words, self.idx.refn_words, self.seg,
             jboth, jquals, self._put(lens),
             self._put(offs_all), self._put(valid_all),
             self._put(minsc.astype(np.int32)), self._put(live),
+            None if live_or is None else self._put(live_or),
             params=pol.sw_params(), band=G, seed_len=pol.seed_len,
             ftab_chars=self.data.fw.ftab_chars,
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
@@ -1026,7 +1095,7 @@ class UnpairedAligner(BatchAligner):
                           S=bt_steps(Lmax, W, pol.local), kk=kk, kk_bt=kk_bt,
                           lens=lens, fw=fw, qu=qu, rc=rc, qu_r=qu_r,
                           minsc=minsc, perfect=perfect, filtered=filtered,
-                          blob=res.blob)
+                          yf=yf, blob=res.blob)
 
     def collect(self, fb: Optional[FusedBatch]) -> List[SamAlignment]:
         """Block on a submitted batch's single transfer and emit SAM."""
@@ -1087,7 +1156,7 @@ class UnpairedAligner(BatchAligner):
                 co, md = cigar_md_from_packed(
                     ops[:bound_n[t], ci], int(ch_rdstart[ci]),
                     int(ch_rdend[ci]), int(L_arr[t]),
-                    read=codes_n[t, :L_arr[t]])
+                    read=codes_n[t, :L_arr[t]], xeq=pol.xeq)
                 cigars.append(cigar_string(co))
                 mds.append(md)
         for ri in range(B):
@@ -1097,7 +1166,7 @@ class UnpairedAligner(BatchAligner):
             if fb.filtered[ri]:
                 st.filtered += 1
                 st.unal += 1
-                out.append(self._unaligned(rec, "NS"))
+                out.append(self._unaligned(rec, self.YF_STR[int(fb.yf[ri])]))
                 continue
             nr = int(n_rank[ri])
             if nr == 0:
@@ -1228,9 +1297,13 @@ class UnpairedAligner(BatchAligner):
 
         mode = np.zeros(nal + nun, np.int8)
         mode[:nal] = 1
-        mode[nal:] = np.where(fb.filtered[ri_un], 2, 0)
+        mode[nal:] = fb.yf[ri_un]      # 0 or the YF reason code
         flag = np.zeros(nal + nun, np.int32)
-        flag[:nal] = (orient[:nal] != 0) * 0x10 + (j_al > 0) * 0x100
+        # secondary = per-read EMISSION rank > 0 (not raw candidate rank):
+        # if rank 0 was dropped by the score-check net, rank 1 is primary —
+        # matches collect()'s n_emitted ordering
+        emit_rank = np.cumsum(emit2, axis=0).reshape(-1)[cis]   # 1-based
+        flag[:nal] = (orient[:nal] != 0) * 0x10 + (emit_rank > 1) * 0x100
         flag[nal:] = FLAG_UNMAPPED
 
         # MAPQ + XS (khits == 1) / 255 (k/a mode)
@@ -1248,7 +1321,7 @@ class UnpairedAligner(BatchAligner):
                     xs[t] = sec
         else:
             has2 = r_valid[1] if kk > 1 else np.zeros(Bp, bool)
-            first = j_al == 0
+            first = emit_rank == 1
             xs[:nal] = np.where(first & has2[ri_al], r_score[1, ri_al]
                                 if kk > 1 else XS_OMIT, XS_OMIT)
 
@@ -1317,7 +1390,7 @@ class UnpairedAligner(BatchAligner):
             if cs.filtered[ri]:
                 st.filtered += 1
                 st.unal += 1
-                out.append(self._unaligned(rec, "NS"))
+                out.append(self._unaligned(rec, self.YF_STR[int(cs.yf[ri])]))
                 continue
             ks = chosen.get(ri)
             if not ks:
@@ -1723,7 +1796,7 @@ class PairedAligner(BatchAligner):
                     else:
                         st.mate_al_one += 1
                     continue
-            yf = "NS" if cs.filtered[ri] else None
+            yf = self.YF_STR[int(cs.yf[ri])] if cs.filtered[ri] else None
             if other_aligned:
                 ok = other_lst[0]
                 o_rid = int(cs.pool.rid[ok])
