@@ -210,30 +210,28 @@ def _assemble_slots(B, T, lens, live_read, sw_top, sw_bot, sw_ned,
                           jnp.take_along_axis(halfs, sj, axis=1))
     slot_row = jnp.where(slot_valid, slot_row,
                          jnp.zeros((), slot_row.dtype))
+    # source-range bookkeeping for the PE -D effort model (pe_effort.py):
+    # range id in width-sorted order (-2/-1 = exact fw/rc, matching the
+    # host path's cand_rangej) + the source range's full SA width
+    ex_full = jnp.take((sw_bot - sw_top).astype(jnp.int32),
+                       ex_or * B + rdix)
+    slot_rangej = jnp.where(is_exact, -2 + ex_or, sj)
+    slot_rwidth = jnp.where(is_exact, ex_full,
+                            jnp.take_along_axis(w, sj, axis=1))
     return (slot_valid, slot_row, slot_or, slot_off, is_exact & slot_valid,
-            slot_mlen, slot_half)
+            slot_mlen, slot_half, slot_rangej, slot_rwidth)
 
 
-@partial(jax.jit, static_argnames=(
-    "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
-    "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm"))
-def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
-             jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
-             live_or=None,
-             *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
-             half_ftab: int, period: int, T: int, kk: int, kk_bt: int,
-             NC: int, n1: bool, max_exact_rows: int = 4,
-             no_1mm: bool = False) -> FusedResult:
-    """Whole single-end batch pipeline in one device program.
+def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
+          jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
+          live_or, params: SWParams, band: int, seed_len: int,
+          ftab_chars: int, half_ftab: int, period: int, T: int,
+          NC: int, n1: bool, max_exact_rows: int, no_1mm: bool,
+          track_origin: bool = False):
+    """Shared pipeline phases 1-4: searches → slots → SA resolve → DP.
 
-    jboth/jquals: (2B, Lmax) int32 fw+rc codes / quals; lens: (B,);
-    offs_all/valid_all: (2B, smax) instantiated seed offsets (fw rows then
-    rc rows); minsc: (B,) int32; live_read: (B,) bool (filters applied).
-    live_or: optional (2B,) bool per-orientation-row liveness (--nofw/--norc
-    strand suppression: rows < B fw, >= B rc; bt2_search.cpp:3418-3424).
-    kk = ranked slots returned per read (khits+1 capped to T); kk_bt =
-    slots backtraced per read; NC = DP problem budget (static).
-    """
+    Returns a dict of intermediates; fused_se ranks/backtraces from it,
+    fused_pe exports per-slot metadata for host pairing."""
     G = band
     B2, Lmax = jboth.shape
     B = B2 // 2
@@ -315,7 +313,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         sweep_bot = jnp.where(live_or, sweep_bot, sweep.top)
         bots2 = jnp.where(live_or[:, None], bots2, tops2)
     (slot_valid, slot_row, slot_or, slot_off, slot_exact, slot_mlen,
-     slot_half) = _assemble_slots(
+     slot_half, slot_rangej, slot_rwidth) = _assemble_slots(
         B, T, lens, live_read, sweep.top, sweep_bot, sweep.nedit,
         tops2, bots2, offs2, mlens2, halfs2, max_exact_rows)
 
@@ -344,6 +342,12 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     half_only = (same & slot_half[:, None, :]).any(axis=2) \
         & ~(same & seed_src[:, None, :]).any(axis=2) \
         & ~(same & slot_exact[:, None, :]).any(axis=2)
+    # aggregated source flags across the duplicate group (the host path's
+    # g_exact/g_half): the -D effort model assigns each anchor to the
+    # EARLIEST phase that discovers it, so a seed-kept slot that is also a
+    # half-read hit must report half=True (exported by fused_pe)
+    agg_exact = (same & slot_exact[:, None, :]).any(axis=2)
+    agg_half = (same & slot_half[:, None, :]).any(axis=2)
     slot_valid &= ~dup
 
     # ---------------- phase 4: compact -> windows -> DP ----------------
@@ -376,7 +380,8 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     lens_c = jnp.where(live_c, jnp.take(lens, ci_read), 1)
     rect_cols = lens_c + 2 * G + 1
     res = sw_banded.__wrapped__(jreads_c, jquals_c, lens_c, wins, params,
-                                G, rect_cols, col_shift)
+                                G, rect_cols, col_shift,
+                                track_origin=track_origin)
 
     # ungapped mismatch count on the anchor diagonal (half-candidate gate);
     # the diagonal starts at col_shift + G — resolved by a 32-way select
@@ -393,6 +398,54 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     c_valid = live_c & (c_score >= jnp.take(minsc, ci_read)) & \
         ~(c_half & (mm_ug > 1))
     c_end = astart + res.lane                                     # end pos
+
+    return dict(
+        B=B, Lmax=Lmax, W=W, sweep=sweep, sweep_bot=sweep_bot,
+        slot_valid=slot_valid, slot_or=slot_or, slot_exact=slot_exact,
+        slot_half=slot_half, slot_rangej=slot_rangej,
+        slot_rwidth=slot_rwidth, half_only=half_only,
+        agg_exact=agg_exact, agg_half=agg_half,
+        anchor=anchor, rid=rid, earlier=earlier,
+        flat_valid=flat_valid, perm=perm, live_c=live_c,
+        ci_read=ci_read, ci_slot=ci_slot,
+        c_or=c_or, c_rid=c_rid, c_half=c_half,
+        wins=wins, col_shift=col_shift, astart=astart,
+        jreads_c=jreads_c, jquals_c=jquals_c,
+        res=res, mm_ug=mm_ug, c_score=c_score, c_valid=c_valid, c_end=c_end)
+
+
+@partial(jax.jit, static_argnames=(
+    "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
+    "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm"))
+def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
+             jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
+             live_or=None,
+             *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
+             half_ftab: int, period: int, T: int, kk: int, kk_bt: int,
+             NC: int, n1: bool, max_exact_rows: int = 4,
+             no_1mm: bool = False) -> FusedResult:
+    """Whole single-end batch pipeline in one device program.
+
+    jboth/jquals: (2B, Lmax) int32 fw+rc codes / quals; lens: (B,);
+    offs_all/valid_all: (2B, smax) instantiated seed offsets (fw rows then
+    rc rows); minsc: (B,) int32; live_read: (B,) bool (filters applied).
+    live_or: optional (2B,) bool per-orientation-row liveness (--nofw/--norc
+    strand suppression: rows < B fw, >= B rc; bt2_search.cpp:3418-3424).
+    kk = ranked slots returned per read (khits+1 capped to T); kk_bt =
+    slots backtraced per read; NC = DP problem budget (static).
+    """
+    cx = _core(half, ref_words, refn_words, seg, jboth, jquals, lens,
+               offs_all, valid_all, minsc, live_read, live_or, params,
+               band, seed_len, ftab_chars, half_ftab, period, T, NC, n1,
+               max_exact_rows, no_1mm)
+    G = band
+    B = cx["B"]
+    (slot_or, flat_valid, perm, live_c, c_or, c_rid, wins, astart,
+     jreads_c, jquals_c, res, c_score, c_valid, c_end) = (
+        cx[k] for k in ("slot_or", "flat_valid", "perm", "live_c", "c_or",
+                        "c_rid", "wins", "astart", "jreads_c", "jquals_c",
+                        "res", "c_score", "c_valid", "c_end"))
+    earlier = cx["earlier"]
 
     # ---------------- phase 5: per-read ranking ----------------
     # scatter compact results back to (B, T) slots
@@ -455,3 +508,87 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         bt.ops.reshape(-1),
         jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)])
     return FusedResult(blob)
+
+
+# number of per-slot scalar fields in the fused-PE metadata export (host
+# decode must match pipeline/align.py PairedAligner._collect_fused)
+PE_SLOT_FIELDS = 13
+# per-compact-candidate fields exported for DPPool reconstruction
+PE_CI_FIELDS = 5
+
+
+class FusedPEResult(NamedTuple):
+    blob: jnp.ndarray      # int32 (PE_SLOT_FIELDS*B*T + B + PE_CI_FIELDS*NC
+                           #        + 1,) — ONE device->host transfer
+    dirs: jnp.ndarray      # device handles kept for the emission backtrace
+    jreads_c: jnp.ndarray
+    jquals_c: jnp.ndarray
+    wins: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=(
+    "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
+    "T", "NC", "n1", "max_exact_rows", "no_1mm"))
+def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
+             jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
+             live_or=None,
+             *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
+             half_ftab: int, period: int, T: int,
+             NC: int, n1: bool, max_exact_rows: int = 4,
+             no_1mm: bool = False) -> FusedPEResult:
+    """Paired-end search half of the pipeline in one device program.
+
+    Same phases 1-4 as fused_se over a 2*Bpairs-read batch (mate1 rows
+    first, then mate2), but instead of ranking+backtracing a top-k, exports
+    EVERY candidate slot's metadata — score, orientation, exact global
+    reference extents (via origin-tracking DP, no backtrace needed),
+    source-phase flags and SA-range bookkeeping — so the host can replay
+    the reference's pairing logic (extendSeedsPaired cross products,
+    pe.cpp classification, the -D fail-streak schedule) VECTORIZED, then
+    backtrace only the few records actually emitted.
+
+    The direction matrices and compacted read/window device arrays are
+    returned as live handles for that emission backtrace.
+    """
+    cx = _core(half, ref_words, refn_words, seg, jboth, jquals, lens,
+               offs_all, valid_all, minsc, live_read, live_or, params,
+               band, seed_len, ftab_chars, half_ftab, period, T, NC, n1,
+               max_exact_rows, no_1mm, track_origin=True)
+    B, T_ = cx["B"], cx["slot_valid"].shape[1]
+    res = cx["res"]
+    live_c, perm = cx["live_c"], cx["perm"]
+    flat_ci = jnp.where(live_c, perm, B * T_)
+
+    def scat(vals, fill=0):
+        return jnp.full(B * T_ + 1, fill, jnp.int32).at[flat_ci].set(
+            vals.astype(jnp.int32))[:-1].reshape(B, T_)
+
+    aok = scat(cx["c_valid"])
+    score = scat(jnp.where(cx["c_valid"], cx["c_score"], NEG), fill=NEG)
+    lo = scat((cx["astart"] + res.origin).astype(jnp.int32))
+    hi = scat(cx["c_end"].astype(jnp.int32))
+    rdend = scat(res.row + 1)
+    cpos = scat(jnp.arange(NC, dtype=jnp.int32), fill=-1)
+
+    sweep = cx["sweep"]
+    ee2 = jnp.where((sweep.nedit == 0) & (cx["sweep_bot"] > sweep.top),
+                    (cx["sweep_bot"] - sweep.top).astype(jnp.int32), 0)
+    ee_read = ee2[:B] + ee2[B:]                  # fw + rc rows per read
+
+    n_dropped = jnp.maximum(
+        jnp.sum(cx["flat_valid"].astype(jnp.int32), dtype=jnp.int32) - NC,
+        0)[None]
+
+    slot_fields = [
+        cx["slot_valid"], aok.astype(bool), score, cx["slot_or"],
+        cx["rid"], lo, hi, rdend, cx["agg_exact"], cx["agg_half"],
+        cx["slot_rangej"], cx["slot_rwidth"], cpos]
+    ci_fields = [cx["astart"], cx["c_rid"], res.row, res.lane,
+                 cx["c_score"]]
+    blob = jnp.concatenate(
+        [f.astype(jnp.int32).reshape(-1) for f in slot_fields]
+        + [ee_read.astype(jnp.int32)]
+        + [f.astype(jnp.int32).reshape(-1) for f in ci_fields]
+        + [n_dropped])
+    return FusedPEResult(blob, res.dirs, cx["jreads_c"], cx["jquals_c"],
+                         cx["wins"])

@@ -83,6 +83,12 @@ class SWResult(NamedTuple):
     dirs: jnp.ndarray     # (Lmax, B, ceil(W/8)) int32: traceback directions,
                           # 8 cells per word, 4 bits each (cell j in word
                           # j//8 at bit 4*(j%8))
+    origin: jnp.ndarray = None  # (B,) int32 rect column of the FIRST ref
+                          # char the best path consumes (== backtrace
+                          # ref_start_win), when track_origin=True. Gives
+                          # exact reference extents for every candidate
+                          # without a backtrace — the PE pairing
+                          # classifier's input (pe.cpp:37 works on extents).
 
 
 def unpack_dirs(dirs_packed, W: int):
@@ -108,11 +114,38 @@ def _prefix_max_excl(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("params", "band"))
+def _prefix_max_payload_excl(x: jnp.ndarray, pay: jnp.ndarray):
+    """Exclusive running max + its payload, ties won by the LATER index.
+
+    The later-on-ties rule mirrors the forward pass's strict-> gap-open
+    preference (an F run stops at the nearest open opportunity), so the
+    payload follows exactly the path `backtrace` would walk."""
+    W = x.shape[-1]
+    out_v = jnp.concatenate([jnp.full(x.shape[:-1] + (1,), NEG_INF, x.dtype),
+                             x[..., :-1]], axis=-1)
+    out_p = jnp.concatenate([jnp.full(pay.shape[:-1] + (1,), -1, pay.dtype),
+                             pay[..., :-1]], axis=-1)
+    shift = 1
+    while shift < W:
+        sh_v = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (shift,), NEG_INF, x.dtype),
+             out_v[..., :-shift]], axis=-1)
+        sh_p = jnp.concatenate(
+            [jnp.full(pay.shape[:-1] + (shift,), -1, pay.dtype),
+             out_p[..., :-shift]], axis=-1)
+        take_sh = sh_v > out_v          # strict: the later segment keeps ties
+        out_v = jnp.maximum(out_v, sh_v)
+        out_p = jnp.where(take_sh, sh_p, out_p)
+        shift <<= 1
+    return out_v, out_p
+
+
+@partial(jax.jit, static_argnames=("params", "band", "track_origin"))
 def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
               refwins: jnp.ndarray, params: SWParams, band: int,
               rect_cols: jnp.ndarray = None,
-              col_lo: jnp.ndarray = None) -> SWResult:
+              col_lo: jnp.ndarray = None,
+              track_origin: bool = False) -> SWResult:
     """Batched rectangle DP.
 
     reads: (B, Lmax) int32 codes 0..4 (4=N); quals: (B, Lmax) int32;
@@ -122,6 +155,12 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
     column G + i is read row i's no-gap column. rect_cols (B,) is the
     number of valid columns per problem — defaults to read_len + 2*band + 1
     (the seed-extension rect); mate-rescue windows pass the full width.
+
+    track_origin=True additionally propagates, per cell, the rect column of
+    the first reference char consumed on the best path into that cell
+    (sentinel -1 = no ref char consumed yet), with tie rules matching the
+    direction bits, so SWResult.origin equals what a backtrace would report
+    as ref_start_win. Costs ~40% extra DP time; used by the fused PE path.
     """
     p = params
     G = band
@@ -146,8 +185,14 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
             & (ar < (col_lo + rect_cols)[:, None])
     refwins = jnp.where(col_ok, refwins, 5)
 
+    colw = jnp.arange(W, dtype=jnp.int32)[None, :]
+
     def row_fn(carry, xs):
-        h_prev, e_prev, best, best_row, best_lane, i = carry
+        if track_origin:
+            (h_prev, e_prev, o_prev, oe_prev, best, best_row, best_lane,
+             best_origin, i) = carry
+        else:
+            h_prev, e_prev, best, best_row, best_lane, i = carry
         rc, qp = xs                                     # (B,), (B,)
         active = i < read_lens
         refc = refwins
@@ -180,11 +225,27 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
         h_noF = jnp.maximum(h_diag, e_cur)
         src_noF = jnp.where(e_cur > h_diag, H_E, H_DIAG).astype(jnp.uint8)
 
+        if track_origin:
+            # origin propagation, same tie rules as the direction bits:
+            # diag consumes ref char j (origin j if none consumed yet);
+            # E (vertical) consumes none; an F run whose maximizing k is
+            # h_noF[k] consumes ref chars k+1..j first.
+            o_sh = jnp.concatenate(
+                [jnp.full((B, 1), -1, jnp.int32), o_prev[:, :-1]], axis=1)
+            o_diag = jnp.where(o_sh < 0, colw, o_sh)
+            oe_new = jnp.where(e_from_ext, oe_prev, o_prev)
+            o_noF = jnp.where(e_cur > h_diag, oe_new, o_diag)
+
         # F (read gap, horizontal): a gap run from lane k to lane j consumes
         # j-k ref chars and costs rgo + (j-k-1)*ext, so
         #   F[j] = max_{k<j} (h_noF[k] + k*ext) - rgo + ext - j*ext
-        f_cur = _prefix_max_excl(h_noF - rgo + p.read_gap_extend
-                                 + lane_e[None, :]) - lane_e[None, :]
+        f_arg = h_noF - rgo + p.read_gap_extend + lane_e[None, :]
+        if track_origin:
+            ofix = jnp.where(o_noF < 0, colw + 1, o_noF)
+            f_pre, o_F = _prefix_max_payload_excl(f_arg, ofix)
+            f_cur = f_pre - lane_e[None, :]
+        else:
+            f_cur = _prefix_max_excl(f_arg) - lane_e[None, :]
         # F-from-extension marker: whether the maximizing k is < j-1
         f_open = jnp.concatenate([pad, h_noF[:, :-1]], axis=1) - rgo
         f_from_ext = f_cur > f_open
@@ -193,6 +254,8 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
 
         h_cur = jnp.maximum(h_noF, f_cur)
         src = jnp.where(f_cur > h_noF, jnp.uint8(H_F), src_noF)
+        if track_origin:
+            o_cur = jnp.where(f_cur > h_noF, o_F, o_noF)
 
         if p.local:
             # 0-score cells reached via the diagonal are local starts (the
@@ -202,6 +265,8 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
             clamp = (h_cur < 0) | ((h_cur == 0) & (src == H_DIAG))
             h_cur = jnp.where(h_cur < 0, 0, h_cur)
             src = jnp.where(clamp, jnp.uint8(H_START), src)
+            if track_origin:
+                o_cur = jnp.where(clamp, -1, o_cur)   # path restarts here
 
         h_cur = jnp.maximum(h_cur, NEG_INF)   # floor: no int32 underflow drift
 
@@ -237,10 +302,27 @@ def sw_banded(reads: jnp.ndarray, quals: jnp.ndarray, read_lens: jnp.ndarray,
 
         h_out = jnp.where(active[:, None], h_cur, h_prev)
         e_out = jnp.where(active[:, None], e_cur, e_prev)
+        if track_origin:
+            row_best_origin = jnp.take_along_axis(
+                o_cur, jnp.clip(row_best_lane, 0, W - 1)[:, None],
+                axis=1)[:, 0]
+            best_origin = jnp.where(take, row_best_origin, best_origin)
+            o_out = jnp.where(active[:, None], o_cur, o_prev)
+            oe_out = jnp.where(active[:, None], oe_new, oe_prev)
+            return (h_out, e_out, o_out, oe_out, best, best_row, best_lane,
+                    best_origin, i + 1), packed
         return (h_out, e_out, best, best_row, best_lane, i + 1), packed
 
     h0 = jnp.zeros((B, W), jnp.int32)          # free start on row -1, any lane
     e0 = jnp.full((B, W), NEG_INF)
+    if track_origin:
+        o0 = jnp.full((B, W), -1, jnp.int32)
+        init = (h0, e0, o0, o0, jnp.full((B,), NEG_INF),
+                jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, jnp.int32), jnp.int32(0))
+        (h, e, _, _, best, best_row, best_lane, best_origin, _), dirs = \
+            jax.lax.scan(row_fn, init, (reads_t, mmpen_t))
+        return SWResult(best, best_row, best_lane, dirs, best_origin)
     init = (h0, e0, jnp.full((B,), NEG_INF), jnp.zeros(B, jnp.int32),
             jnp.zeros(B, jnp.int32), jnp.int32(0))
     (h, e, best, best_row, best_lane, _), dirs = jax.lax.scan(

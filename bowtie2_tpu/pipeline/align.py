@@ -1433,21 +1433,138 @@ class UnpairedAligner(BatchAligner):
         return out
 
 
+@dataclass
+class FusedPEBatch:
+    """In-flight fused paired-end batch: device handles + host context.
+
+    Read-row layout: mate-1 reads occupy rows [0, Bp), mate-2 rows
+    [Bp, 2*Bp) (real pairs first, padding after, per half)."""
+    pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
+    B: int                      # real pairs
+    Bp: int                     # padded pairs (pow2)
+    B2: int                     # 2 * Bp read rows
+    Lmax: int
+    T: int
+    NC: int
+    G: int
+    lens: np.ndarray            # (B2,)
+    fw: np.ndarray              # (B2, Lmax) host int8
+    qu: np.ndarray
+    rc: np.ndarray
+    qu_r: np.ndarray
+    minsc: np.ndarray
+    perfect: np.ndarray
+    filtered: np.ndarray
+    yf: np.ndarray
+    inst_read: np.ndarray       # (B2,) N-free instantiated seeds per read
+    jboth: object               # device (2*B2, Lmax)
+    jquals: object
+    res: object                 # ops.fused.FusedPEResult
+
+
 class PairedAligner(BatchAligner):
     """Aligns batches of read pairs: concordant search, mate rescue DP,
     discordant and mixed fallbacks (reference SwDriver::extendSeedsPaired +
-    PairedEndPolicy, aligner_sw_driver.cpp / pe.cpp)."""
+    PairedEndPolicy, aligner_sw_driver.cpp / pe.cpp).
 
-    # trivial submit/collect so drivers can treat both aligners uniformly
-    # (PE device-side pipelining lands with the fused PE path)
+    Default path: fused single-dispatch search (ops/fused.py fused_pe) +
+    vectorized host pairing/effort + emission backtrace of only the
+    reported records. `align_batch_host` is the phase-by-phase fallback
+    (int64 large-index mode, DP-budget overflow) and differential oracle."""
+
     def submit(self, pairs):
-        return pairs
+        """Dispatch the fused PE device program (non-blocking)."""
+        if not pairs:
+            return None
+        if self._row_dtype == np.int64:
+            return ("host", pairs)    # large-index mode: legacy path
+        from bowtie2_tpu.ops.fused import fused_pe
+        import time as _time
+        _t = _time.time()
+        pol = self.pol
+        B = len(pairs)
+        Bp = _pow2_at_least(B, lo=128)
+        dummy = SeqRecord(name="", seq=np.zeros(0, np.uint8),
+                          qual=np.zeros(0, np.uint8))
+        recs = [p[0] for p in pairs] + [dummy] * (Bp - B) + \
+               [p[1] for p in pairs] + [dummy] * (Bp - B)
+        B2 = 2 * Bp
+        Lmax = _bucket(max(max(int(r.seq.size) for r in recs), 1))
+        fw, qu, rc, qu_r, lens = pad_reads(recs, Lmax)
+
+        ulen, inv = np.unique(lens, return_inverse=True)
+        minsc = np.array([pol.min_score(int(l)) if l else 0
+                          for l in ulen], np.int64)[inv]
+        perfect = np.array([pol.perfect_score(int(l)) if pol.local else 0
+                            for l in ulen], np.int64)[inv]
+        nceil = np.array([pol.nceil(int(l)) if l else 0
+                          for l in ulen], np.int32)[inv]
+        n_count = (fw >= 4).sum(axis=1) - (Lmax - lens)
+        filtered, yf = self._filters(recs, lens, n_count, nceil, minsc)
+        live = ~filtered & (lens > 0)
+
+        # paired-end seed-interval boost when BOTH mates pass filters
+        # (bt2_search.cpp:3445-3448)
+        okm = ~filtered
+        ival_boost = okm & np.roll(okm, Bp)
+        offs_all, valid_all = self._seed_offsets(lens, ival_boost)
+
+        both = np.concatenate([fw, rc], axis=0)
+        inst0 = self._inst_counts(both, offs_all, valid_all)
+        inst_read = inst0[:B2] + inst0[B2:]
+
+        T = self.NC_PER_READ
+        G = pol.band_halfwidth(Lmax)
+        NC = 2 * B2
+        jboth = self._put(both).astype(jnp.int32)
+        jquals = self._put(np.concatenate([qu, qu_r], axis=0)
+                           ).astype(jnp.int32)
+        live_or = self._live_orient(B2, paired=True)
+        res = fused_pe(
+            self.idx.fw, self.idx.ref_words, self.idx.refn_words, self.seg,
+            jboth, jquals, self._put(lens),
+            self._put(offs_all), self._put(valid_all),
+            self._put(minsc.astype(np.int32)), self._put(live),
+            None if live_or is None else self._put(live_or),
+            params=pol.sw_params(), band=G, seed_len=pol.seed_len,
+            ftab_chars=self.data.fw.ftab_chars,
+            half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
+            period=1 << self.data.off_rate, T=T,
+            NC=NC, n1=pol.seed_mms >= 1,
+            no_1mm=getattr(pol, "no_1mm", False))
+        self.metrics.add(t_search=_time.time() - _t)
+        return FusedPEBatch(
+            pairs=pairs, B=B, Bp=Bp, B2=B2, Lmax=Lmax, T=T, NC=NC, G=G,
+            lens=lens, fw=fw, qu=qu, rc=rc, qu_r=qu_r, minsc=minsc,
+            perfect=perfect, filtered=filtered, yf=yf, inst_read=inst_read,
+            jboth=jboth, jquals=jquals, res=res)
 
     def collect(self, h):
-        return self.align_batch(h) if h else []
+        if h is None:
+            return []
+        if isinstance(h, tuple) and h[0] == "host":
+            return self.align_batch_host(h[1])
+        return self._collect_fused(h)
 
     def align_batch(self, pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
                     ) -> List[SamAlignment]:
+        return self.collect(self.submit(pairs))
+
+    def align_pairs_fast(self, pairs, batch: int = 2048, depth: int = 3
+                         ) -> int:
+        """Pipelined submit/collect over a whole corpus (bench helper)."""
+        from collections import deque
+        pend = deque()
+        for k in range(0, len(pairs), batch):
+            pend.append(self.submit(pairs[k:k + batch]))
+            if len(pend) > depth:
+                self.collect(pend.popleft())
+        while pend:
+            self.collect(pend.popleft())
+        return len(pairs)
+
+    def align_batch_host(self, pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
+                         ) -> List[SamAlignment]:
         if not pairs:
             return []
         pol = self.pol
@@ -1651,6 +1768,328 @@ class PairedAligner(BatchAligner):
             # mixed / unaligned
             self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
         self._merge_stats(st)
+        return out
+
+    # ------------------------------------------------------------------
+    def _collect_fused(self, fpb: FusedPEBatch) -> List[SamAlignment]:
+        """Decode the fused PE blob, pair candidates VECTORIZED, replay the
+        -D effort model (fast path: any read whose per-phase candidate
+        count fits under the streak limit attempts everything — the replay
+        is only run for the rare reads that could actually give up), mate-
+        rescue the rest, and emit.
+
+        Semantics identical to align_batch_host (golden-tested); the
+        per-pair Python cross-product loops of the legacy path
+        (aligner_sw_driver.cpp:1680's per-read state machine analog) are
+        replaced by (pairs, T, T) array classification."""
+        from bowtie2_tpu.ops.fused import PE_CI_FIELDS, PE_SLOT_FIELDS
+        from bowtie2_tpu.pipeline.pe import pe_classify_np
+        from bowtie2_tpu.pipeline.pe_effort import (pe_streak_limit,
+                                                    simulate_mate)
+        import time as _time
+        pol = self.pol
+        B, Bp, B2, T, NC = fpb.B, fpb.Bp, fpb.B2, fpb.T, fpb.NC
+        _t = _time.time()
+        meta = np.asarray(fpb.res.blob)
+        self.metrics.add(t_dp=_time.time() - _t)
+        _t = _time.time()
+        nslot = B2 * T
+        sf = meta[:PE_SLOT_FIELDS * nslot].reshape(PE_SLOT_FIELDS, B2, T)
+        OCC = sf[0].astype(bool)
+        AOK = sf[1].astype(bool)
+        S = sf[2]
+        OR = sf[3]
+        RID = sf[4]
+        LO = sf[5].astype(np.int64)
+        HI = sf[6].astype(np.int64)
+        RDEND = sf[7]
+        EXACT = sf[8].astype(bool)
+        HALF = sf[9].astype(bool)
+        RANGEJ = sf[10]
+        RWID = sf[11]
+        CPOS = sf[12]
+        off = PE_SLOT_FIELDS * nslot
+        ee = meta[off:off + B2]
+        off += B2
+        cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
+        astart, ci_rid, ci_row, ci_lane, ci_score = cif
+        off += PE_CI_FIELDS * NC
+        if int(meta[off]) > 0:
+            # DP budget overflow: rerun on the uncapped host path (rare)
+            sys.stderr.write("fused PE DP budget exceeded; falling back\n")
+            return self.align_batch_host(fpb.pairs)
+
+        pool = DPPool(G=fpb.G, Lmax=fpb.Lmax, n=NC,
+                      win_start=astart.astype(np.int64),
+                      rid=ci_rid.astype(np.int64),
+                      scores=ci_score.astype(np.int64),
+                      rows_end=ci_row, lanes_end=ci_lane,
+                      dirs=fpb.res.dirs, jreads=fpb.res.jreads_c,
+                      jquals=fpb.res.jquals_c, wins=fpb.res.wins)
+        m = CPOS >= 0
+        ci_or = np.zeros(NC, np.int64)
+        ci_or[CPOS[m]] = OR[m]
+        valid_ci = np.zeros(NC, bool)
+        valid_ci[CPOS[m]] = AOK[m]
+        cs = CandSet(B=B2, Lmax=fpb.Lmax, lens=fpb.lens, fw=fpb.fw,
+                     qu=fpb.qu, rc=fpb.rc, qu_r=fpb.qu_r, minsc=fpb.minsc,
+                     perfect=fpb.perfect, filtered=fpb.filtered, yf=fpb.yf,
+                     n_cand=NC, cand_or=ci_or, rid=ci_rid.astype(np.int64),
+                     valid=valid_ci,
+                     end_pos=(astart + ci_lane).astype(np.int64), pool=pool)
+
+        # ---- ranked representatives: dedupe by (orient, end) ----
+        tj = np.arange(T)
+        same = (OR[:, :, None] == OR[:, None, :]) & \
+               (HI[:, :, None] == HI[:, None, :]) & \
+               AOK[:, :, None] & AOK[:, None, :]
+        bet = (S[:, None, :] > S[:, :, None]) | \
+              ((S[:, None, :] == S[:, :, None]) &
+               (tj[None, None, :] < tj[None, :, None]))
+        rep = AOK & ~(same & bet).any(axis=2)
+        rid_flat = np.repeat(np.arange(B2), T)
+        order = np.lexsort((np.tile(tj, B2), (-S).reshape(-1),
+                            (~rep).reshape(-1), rid_flat))
+        ranked_slots = (order % T).reshape(B2, T)       # rank -> slot
+        rankpos = np.empty((B2, T), np.int64)
+        np.put_along_axis(rankpos, ranked_slots,
+                          np.broadcast_to(tj, (B2, T)), axis=1)
+        nrank = rep.sum(axis=1)
+
+        # ---- concordant cross-products, vectorized (pairs, T, T) ----
+        m1, m2 = slice(0, Bp), slice(Bp, B2)
+        conc = (RID[m1][:, :, None] == RID[m2][:, None, :]) & \
+            rep[m1][:, :, None] & rep[m2][:, None, :]
+        from bowtie2_tpu.pipeline.pe import PE_DISCORD as _PED
+        typ = pe_classify_np(
+            pol.mate_fw_rc,
+            LO[m1][:, :, None], HI[m1][:, :, None],
+            (OR[m1] == 0)[:, :, None],
+            LO[m2][:, None, :], HI[m2][:, None, :],
+            (OR[m2] == 0)[:, None, :],
+            pol.minins, pol.maxins)
+        conc &= typ != _PED
+        SUCC = np.concatenate([conc.any(axis=2), conc.any(axis=1)], axis=0)
+
+        # ---- seed-round suppression (zero-seed `break` quirk) ----
+        inst = fpb.inst_read
+        n1e, n2e = ee[:Bp], ee[Bp:]
+        swap = (n1e > 0) & (n2e > 0) & (n1e > n2e)
+        inst_first = np.where(swap, inst[Bp:], inst[:Bp])
+        both_ok = ~fpb.filtered[:Bp] & ~fpb.filtered[Bp:]
+        supp_pair = both_ok & (inst_first == 0)
+        suppress = np.concatenate([supp_pair, supp_pair])
+
+        # ---- -D fail-streak effort (pe_effort.py), vectorized fast path ----
+        nex = (OCC & EXACT).sum(axis=1)
+        nhf = (OCC & HALF & ~EXACT).sum(axis=1)
+        nsd = (OCC & ~EXACT & ~HALF).sum(axis=1)
+        ATT = OCC & np.where(suppress[:, None], EXACT | HALF, True)
+        SUC = ATT & SUCC
+        if not pol.all_hits:
+            limit = pe_streak_limit(pol.fail_streak, pol.khits, True)
+            fast = (nex <= limit) & (nhf <= limit) & \
+                np.where(suppress, True, nsd <= limit)
+            for ri in np.nonzero(~fast)[0]:
+                ks = np.nonzero(OCC[ri])[0]
+                exact_l = [int(k) for k in ks if EXACT[ri, k]]
+                half_l = [int(k) for k in ks
+                          if HALF[ri, k] and not EXACT[ri, k]]
+                seed_l = [] if suppress[ri] else \
+                    [int(k) for k in ks
+                     if not EXACT[ri, k] and not HALF[ri, k]]
+                att, suc = simulate_mate(
+                    [exact_l, half_l, seed_l], RANGEJ[ri], RWID[ri],
+                    set(np.nonzero(SUCC[ri])[0].tolist()),
+                    set(np.nonzero(AOK[ri])[0].tolist()), limit)
+                ATT[ri] = False
+                ATT[ri, list(att)] = True
+                SUC[ri] = False
+                SUC[ri, list(suc)] = True
+
+        # ---- best concordant combo per pair ----
+        keep = conc & (SUC[m1][:, :, None] | SUC[m2][:, None, :])
+        SS = S[m1].astype(np.int64)[:, :, None] + \
+            S[m2].astype(np.int64)[:, None, :]
+        # ordering = legacy stable sort: score desc, then enumeration order
+        # (mate-1 rank asc, mate-2 rank asc)
+        key = (SS << 20) - (rankpos[m1][:, :, None] << 10) - \
+            rankpos[m2][:, None, :]
+        key = np.where(keep, key, np.int64(-(1 << 62)))
+        flatk = key.reshape(Bp, T * T)
+        bestflat = flatk.argmax(axis=1)
+        arangeBp = np.arange(Bp)
+        has = keep.reshape(Bp, -1).any(axis=1)
+        best_s1 = bestflat // T
+        best_s2 = bestflat % T
+        best_ss = SS.reshape(Bp, -1)[arangeBp, bestflat]
+        n_kept = keep.reshape(Bp, -1).sum(axis=1)
+        flatk2 = flatk.copy()
+        flatk2[arangeBp, bestflat] = -(1 << 62)
+        secflat = flatk2.argmax(axis=1)
+        sec_ss = SS.reshape(Bp, -1)[arangeBp, secflat]
+
+        # ---- eff-ranked heads (rescue anchors / discordant / mixed) ----
+        BIGR = 1 << 30
+        att_rank = np.where(rep & ATT, rankpos, BIGR)
+        first_rank = att_rank.min(axis=1)
+        first_slot = att_rank.argmin(axis=1)
+        has_l = first_rank < BIGR
+        att_rank2 = att_rank.copy()
+        att_rank2[np.arange(B2), first_slot] = BIGR
+        sec_rank = att_rank2.min(axis=1)
+        sec_slot = att_rank2.argmin(axis=1)
+        has_l2 = sec_rank < BIGR
+        nL = (rep & ATT).sum(axis=1)
+
+        # ---- mate rescue DP for pairs without a concordant combo ----
+        real = np.arange(B)
+        rescue_specs = []
+        for i in real[~has[:B]]:
+            for mate, ri in ((0, i), (1, Bp + i)):
+                if not has_l[ri]:
+                    continue
+                ak_s = first_slot[ri]
+                wlo, whi, opp_fw = rescue_window(
+                    pol.mate_fw_rc, int(LO[ri, ak_s]), int(HI[ri, ak_s]),
+                    OR[ri, ak_s] == 0, mate == 0, pol.maxins)
+                opp_ri = (Bp + i) if mate == 0 else i
+                if fpb.filtered[opp_ri] or fpb.lens[opp_ri] == 0:
+                    continue
+                rescue_specs.append((int(i), ri, int(ak_s), opp_ri,
+                                     0 if opp_fw else 1, wlo))
+        rpool = None
+        rtb = {}
+        rconc = {}       # pair -> ("r", ak_ci, t, opp_ri, opp_or, rlo, rhi,
+                         #          sc_sum)
+        if rescue_specs:
+            Lmax = fpb.Lmax
+            Gr = max((pol.maxins + 32 - Lmax + 1) // 2,
+                     pol.band_halfwidth(Lmax))
+            r_read = np.array([s[3] for s in rescue_specs], np.int64)
+            r_or = np.array([s[4] for s in rescue_specs], np.int64)
+            r_wlo = np.array([s[5] for s in rescue_specs], np.int64)
+            r_rid = np.searchsorted(
+                self.data.ref_cum,
+                np.array([int(LO[s[1], s[2]]) for s in rescue_specs]),
+                side="right") - 1
+            rpool = self._run_dp(r_wlo, r_rid, r_read, r_or,
+                                 fpb.jboth, fpb.jquals, fpb.lens,
+                                 Gr, Lmax, len(rescue_specs),
+                                 full_width=True)
+            r_valid = rpool.scores >= fpb.minsc[r_read]
+            rsel = np.nonzero(r_valid)[0].astype(np.int32)
+            rtb = self._backtrace_sel(rpool, rsel)
+            for t in rsel.tolist():
+                (i, ari, ak_s, opp_ri, opp_or, _) = rescue_specs[t]
+                if i in rconc:
+                    continue
+                rlo = int(rpool.win_start[t]) + rtb[t][1]["ref_start_win"]
+                rhi = int(rpool.end_pos(np.array([t]))[0])
+                alo, ahi = int(LO[ari, ak_s]), int(HI[ari, ak_s])
+                afw = OR[ari, ak_s] == 0
+                if opp_ri >= Bp:     # opposite is mate 2 → anchor is mate 1
+                    typr = pe_classify(pol.mate_fw_rc, alo, ahi, afw,
+                                       rlo, rhi, opp_or == 0,
+                                       pol.minins, pol.maxins)
+                else:
+                    typr = pe_classify(pol.mate_fw_rc, rlo, rhi,
+                                       opp_or == 0, alo, ahi, afw,
+                                       pol.minins, pol.maxins)
+                if typr != PE_DISCORD:
+                    sc_sum = int(S[ari, ak_s]) + int(rpool.scores[t])
+                    rconc[i] = ("r", int(CPOS[ari, ak_s]), t, opp_ri,
+                                opp_or, rlo, rhi, sc_sum, ari, int(ak_s))
+
+        # ---- emission backtrace of everything reported ----
+        need = set()
+        for i in real[has[:B]]:
+            need.add(int(CPOS[i, best_s1[i]]))
+            need.add(int(CPOS[Bp + i, best_s2[i]]))
+        for i, rc_ in rconc.items():
+            need.add(rc_[1])
+        for i in real:
+            if has[i] or i in rconc:
+                continue
+            for ri in (i, Bp + i):
+                if has_l[ri]:
+                    need.add(int(CPOS[ri, first_slot[ri]]))
+        sel = np.array(sorted(need), np.int32)
+        tb_of = self._backtrace_sel(pool, sel) if sel.size else {}
+        self.metrics.add(t_host=_time.time() - _t)
+        _t = _time.time()
+
+        # ---- per-pair emission ----
+        st = AlignStats()
+        out: List[SamAlignment] = []
+        scores = pool.scores
+        for i in range(B):
+            rec1, rec2 = fpb.pairs[i]
+            st.pairs += 1
+            st.reads += 2
+            emitted = False
+            if has[i]:
+                s1, s2 = int(best_s1[i]), int(best_s2[i])
+                k1 = int(CPOS[i, s1])
+                k2 = int(CPOS[Bp + i, s2])
+                sec_sum = int(sec_ss[i]) if n_kept[i] > 1 else None
+                ok = self._emit_pair(
+                    st, out, cs, i, rec1, rec2,
+                    (k1, pool, tb_of[k1], int(OR[i, s1]),
+                     int(LO[i, s1]), int(HI[i, s1])),
+                    (k2, pool, tb_of[k2], int(OR[Bp + i, s2]),
+                     int(LO[Bp + i, s2]), int(HI[Bp + i, s2])),
+                    int(best_ss[i]), sec_sum, "CP", True)
+                if ok:
+                    if n_kept[i] > 1:
+                        st.conc_multi += 1
+                    else:
+                        st.conc_one += 1
+                    continue
+                emitted = False
+            elif i in rconc:
+                (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum, ari,
+                 ak_s) = rconc[i]
+                if opp_ri >= Bp:
+                    marg1 = (ak_ci, pool, tb_of[ak_ci], int(OR[ari, ak_s]),
+                             int(LO[ari, ak_s]), int(HI[ari, ak_s]))
+                    marg2 = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                else:
+                    marg1 = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                    marg2 = (ak_ci, pool, tb_of[ak_ci], int(OR[ari, ak_s]),
+                             int(LO[ari, ak_s]), int(HI[ari, ak_s]))
+                ok = self._emit_pair(st, out, cs, i, rec1, rec2,
+                                     marg1, marg2, sc_sum, None, "CP", True)
+                if ok:
+                    st.conc_one += 1
+                    continue
+            # discordant: both mates aligned uniquely, same ref
+            ri1, ri2 = i, Bp + i
+            if (not pol.no_discordant and nL[ri1] == 1 and nL[ri2] == 1
+                    and RID[ri1, first_slot[ri1]]
+                    == RID[ri2, first_slot[ri2]]):
+                s1, s2 = int(first_slot[ri1]), int(first_slot[ri2])
+                k1, k2 = int(CPOS[ri1, s1]), int(CPOS[ri2, s2])
+                ok = self._emit_pair(
+                    st, out, cs, i, rec1, rec2,
+                    (k1, pool, tb_of[k1], int(OR[ri1, s1]),
+                     int(LO[ri1, s1]), int(HI[ri1, s1])),
+                    (k2, pool, tb_of[k2], int(OR[ri2, s2]),
+                     int(LO[ri2, s2]), int(HI[ri2, s2])),
+                    int(S[ri1, s1]) + int(S[ri2, s2]), None, "DP", False)
+                if ok:
+                    st.disc += 1
+                    continue
+            # mixed / unaligned
+            l1 = [int(CPOS[ri1, first_slot[ri1]])] if has_l[ri1] else []
+            if has_l2[ri1]:
+                l1.append(int(CPOS[ri1, sec_slot[ri1]]))
+            l2 = [int(CPOS[ri2, first_slot[ri2]])] if has_l[ri2] else []
+            if has_l2[ri2]:
+                l2.append(int(CPOS[ri2, sec_slot[ri2]]))
+            self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
+        self._merge_stats(st)
+        self.metrics.add(t_host=_time.time() - _t)
         return out
 
     # ------------------------------------------------------------------

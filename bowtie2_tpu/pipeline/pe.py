@@ -105,3 +105,63 @@ def rescue_window(policy: str, alo: int, ahi: int, afw: bool,
     if anchor_left:
         return alo, alo + maxfrag, opp_fw
     return ahi - maxfrag + 1, ahi + 1, opp_fw
+
+
+def pe_classify_np(policy, lo1, hi1, fw1, lo2, hi2, fw2,
+                   minfrag: int, maxfrag: int,
+                   olap_ok: bool = True, contain_ok: bool = True,
+                   dovetail_ok: bool = False,
+                   expand_to_fit: bool = True):
+    """Vectorized pe_classify over numpy arrays (broadcastable shapes).
+
+    Element-for-element identical to the scalar pe_classify (tested); used
+    by the fused PE path to classify whole (pairs, T, T) candidate
+    cross-products at once instead of per-pair Python loops."""
+    import numpy as np
+    lo1, hi1, lo2, hi2 = (np.asarray(a, np.int64) for a in (lo1, hi1, lo2, hi2))
+    fw1 = np.asarray(fw1, bool)
+    fw2 = np.asarray(fw2, bool)
+    len1 = hi1 - lo1 + 1
+    len2 = hi2 - lo2 + 1
+    mx = np.maximum(np.maximum(np.int64(maxfrag), len1), len2) \
+        if expand_to_fit else np.int64(maxfrag)
+    mn = max(minfrag, 1)
+
+    if policy == "ff":
+        compat = fw1 == fw2
+        one_left = fw1
+    elif policy == "rr":
+        compat = fw1 == fw2
+        one_left = ~fw1
+    elif policy == "fr":
+        compat = fw1 != fw2
+        one_left = fw1
+    elif policy == "rf":
+        compat = fw1 != fw2
+        one_left = ~fw1
+    else:
+        raise ValueError(policy)
+
+    frag = np.maximum(hi1, hi2) - np.minimum(lo1, lo2) + 1
+    ok = compat & (frag <= mx) & (frag >= mn)
+
+    containment = ((lo1 >= lo2) & (hi1 <= hi2)) | \
+                  ((lo2 >= lo1) & (hi2 <= hi1))
+    olap = containment | ((lo1 <= lo2) & (lo2 <= hi1)) | \
+        ((lo1 <= hi2) & (hi2 <= hi1))
+    typ = np.full(np.broadcast(lo1, lo2, fw1, fw2).shape, PE_NORMAL,
+                  np.int8)
+    if not olap_ok:
+        ok &= ~olap
+    typ = np.where(olap, PE_OVERLAP, typ)
+    wrong = ~olap & ((one_left & (lo2 < lo1)) | (~one_left & (lo1 < lo2)))
+    ok &= ~wrong
+    if not contain_ok:
+        ok &= ~containment
+    typ = np.where(containment, PE_CONTAIN, typ)
+    dove = (one_left & ((hi1 > hi2) | (lo2 < lo1))) | \
+           (~one_left & ((hi2 > hi1) | (lo1 < lo2)))
+    if not dovetail_ok:
+        ok &= ~dove
+    typ = np.where(dove, PE_DOVETAIL, typ)
+    return np.where(ok, typ, PE_DISCORD).astype(np.int8)

@@ -175,3 +175,36 @@ def test_device_backtrace_matches_host(rng, params):
             want_cigar.append(("S", L - want.read_end))
         assert cigar == want_cigar, k
         assert md == "".join(want.md_parts), k
+
+
+@pytest.mark.parametrize("params", [E2E, LOCAL], ids=["e2e", "local"])
+def test_origin_tracking_matches_backtrace(rng, params):
+    """track_origin's per-candidate ref start must equal what the
+    backtrace reports (exact extents without backtracing — the fused PE
+    classifier's contract)."""
+    from bowtie2_tpu.ops.sw import backtrace
+
+    G, L = 8, 50
+    B = 48
+    reads, quals, wins = [], [], []
+    for k in range(B):
+        r, q, w = _make_problem(rng, L, G, n_mm=k % 5, n_ins=k % 3,
+                                n_del=k % 4, with_n=(k % 7 == 0))
+        reads.append(r)
+        quals.append(q)
+        wins.append(w)
+    reads, quals, wins = np.stack(reads), np.stack(quals), np.stack(wins)
+    lens = np.full(B, L, np.int32)
+    res = sw_banded(jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
+                    jnp.asarray(wins), params, G, track_origin=True)
+    res0 = sw_banded(jnp.asarray(reads), jnp.asarray(quals),
+                     jnp.asarray(lens), jnp.asarray(wins), params, G)
+    # tracking must not perturb scores/coords
+    assert np.array_equal(np.asarray(res.score), np.asarray(res0.score))
+    assert np.array_equal(np.asarray(res.lane), np.asarray(res0.lane))
+    sel = np.arange(B, dtype=np.int32)
+    bt = backtrace(res.dirs, jnp.asarray(sel), res.row, res.lane,
+                   jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(wins),
+                   params, G)
+    np.testing.assert_array_equal(np.asarray(res.origin),
+                                  np.asarray(bt.ref_start_win))
