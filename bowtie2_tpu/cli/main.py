@@ -104,6 +104,7 @@ def _build_align_parser():
     # reporting
     ap.add_argument("-k", dest="khits", type=int, default=None)
     ap.add_argument("-a", "--all", dest="all_hits", action="store_true")
+    ap.add_argument("-M", dest="mhits", type=int, default=None)
     ap.add_argument("-D", dest="fail_streak", type=int, default=None)
     ap.add_argument("-R", dest="seed_rounds", type=int, default=None)
     # paired-end
@@ -178,8 +179,12 @@ def cmd_align(argv):
         overrides["seed_mms"] = args.seed_mms
     if args.khits is not None:
         overrides["khits"] = args.khits
+        overrides["mhits"] = 0      # -k disables -M (bt2_search.cpp:1326)
     if args.all_hits:
         overrides["all_hits"] = True
+        overrides["mhits"] = 0      # -a disables -M
+    if args.mhits is not None:
+        overrides["mhits"] = args.mhits
     if args.fail_streak is not None:
         overrides["fail_streak"] = args.fail_streak
     if args.seed_rounds is not None:

@@ -492,6 +492,25 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         + bt.ref_start_win.astype(astart.dtype)
     ch_rid = jnp.take(c_rid, ch_ci).astype(jnp.int32)
     roff = (g_start - jnp.take(seg.ref_cum, ch_rid)).astype(jnp.int32)
+    # exact end-to-end sweep ranges (per orientation, rows split into two
+    # int32 words for the int64 large-index mode): the RNG-replay layer
+    # (pipeline/replay.py) needs the FULL ranges, not just the
+    # max_exact_rows-capped slots, to model the reference's EE trajectory
+    sweep = cx["sweep"]
+    ee_w2 = jnp.where((sweep.nedit == 0) & (cx["sweep_bot"] > sweep.top),
+                      cx["sweep_bot"] - sweep.top, 0)
+    if sweep.top.dtype == jnp.int64:     # large-index mode (x64 enabled)
+        mask = jnp.int64(0xFFFFFFFF)
+        ee_lo = (sweep.top & mask).astype(jnp.int32)
+        ee_hi = (sweep.top >> 32).astype(jnp.int32)
+    else:
+        ee_lo = sweep.top.astype(jnp.int32)
+        ee_hi = jnp.zeros_like(ee_lo)
+    Bse = ee_w2.shape[0] // 2
+    ee_block = jnp.concatenate([
+        ee_lo[:Bse], ee_hi[:Bse], ee_w2[:Bse].astype(jnp.int32),
+        ee_lo[Bse:], ee_hi[Bse:], ee_w2[Bse:].astype(jnp.int32)])
+
     meta = jnp.concatenate([
         r_score.T.reshape(-1), r_valid.T.reshape(-1).astype(jnp.int32),
         ch_okf.astype(jnp.int32),
@@ -503,6 +522,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         # the reference-order-preserving unfused path when nonzero)
         jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32),
                             dtype=jnp.int32) - NC, 0)[None],
+        ee_block,
     ]).astype(jnp.int32)
     blob = jnp.concatenate([
         bt.ops.reshape(-1),

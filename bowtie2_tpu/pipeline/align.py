@@ -227,6 +227,9 @@ class CandSet:
     cand_rwidth: np.ndarray = None   # SA width of the source range
     ee_elts: np.ndarray = None       # (2B,) exact end-to-end elements/orient
     inst0: np.ndarray = None         # (2B,) round-0 N-free instantiated seeds
+    sw_top: np.ndarray = None        # (2B,) exact-sweep SA tops (fw then rc)
+    sw_bot: np.ndarray = None        # (2B,) bots (strand-suppression applied)
+    sw_ned: np.ndarray = None        # (2B,) sweep edit lower bounds
 
 
 class BatchAligner:
@@ -424,6 +427,7 @@ class BatchAligner:
         if live_or is not None:
             sw_bot = np.where(live_or, sw_bot, sw_top)
             seed_bot = np.where(live_or[:, None], seed_bot, seed_top)
+        cs.sw_top, cs.sw_bot, cs.sw_ned = sw_top, sw_bot, sw_ned
 
         # phase 3: rank + resolve
         (cand_read, cand_or, cand_off, cand_row, cand_exact, cand_mlen,
@@ -1032,6 +1036,83 @@ class UnpairedAligner(BatchAligner):
     `_align_batch_host` is the round-1 phase-by-phase path, kept as the
     fallback for DP-budget overflow and as a differential oracle."""
 
+    def _ee_replay_overrides(self, fb: "FusedBatch", meta: np.ndarray):
+        """RNG-parity selection for exact-multimap reads (fused path).
+
+        Reads with >= 2 exact end-to-end hits have their reported
+        position(s) chosen by the reference's per-read LCG (see
+        pipeline/replay.py — trajectory validated exact against the
+        binary). Returns {read_idx: ([(rid, roff, orient), ...] one per
+        emitted rank, maxed, n_alns)}; everything else keeps the
+        canonical deterministic choice."""
+        if self.pol.local:
+            return {}
+        from bowtie2_tpu.ops.fused import CHOSEN_FIELDS
+        kk, kk_bt, Bp, B = fb.kk, fb.kk_bt, fb.Bp, fb.B
+        Bc = Bp * kk_bt
+        base = 2 * kk * Bp + CHOSEN_FIELDS * Bc + 1
+        ee = meta[base:base + 6 * Bp].reshape(6, Bp)
+        top_fw = ee[0].astype(np.uint32).astype(np.int64) | \
+            (ee[1].astype(np.int64) << 32)
+        top_rc = ee[3].astype(np.uint32).astype(np.int64) | \
+            (ee[4].astype(np.int64) << 32)
+        return self._replay_from_ranges(
+            fb.records, fb.lens, fb.filtered, B,
+            top_fw, ee[2], top_rc, ee[5])
+
+    def _replay_from_ranges(self, records, lens, filtered, B,
+                            top_fw, w_fw, top_rc, w_rc):
+        """Shared replay core over exact-sweep ranges (fused + host)."""
+        pol = self.pol
+        from bowtie2_tpu.pipeline.replay import EE_MAXELT, replay_ee_read
+        from bowtie2_tpu.pipeline.rng import gen_rand_seed
+        tot = w_fw.astype(np.int64) + w_rc
+        app = (tot >= 2) & (tot <= EE_MAXELT) & ~filtered[:len(tot)] & \
+            (np.arange(len(tot)) < B)
+        idxs = np.nonzero(app)[0]
+        if idxs.size == 0:
+            return {}
+        rows = []
+        spans = []
+        for ri in idxs:
+            spans.append(len(rows))
+            rows.extend(range(int(top_fw[ri]), int(top_fw[ri] + w_fw[ri])))
+            rows.extend(range(int(top_rc[ri]), int(top_rc[ri] + w_rc[ri])))
+        NR = _pow2_at_least(len(rows), lo=64)
+        rows_pad = np.zeros(NR, dtype=self._row_dtype)
+        rows_pad[:len(rows)] = rows
+        jpos = np.asarray(fm.sa_resolve(
+            self.idx.fw, self._put(rows_pad),
+            period=1 << self.data.off_rate))[:len(rows)].astype(np.int64)
+        seg = np.searchsorted(self.data.seg_joined_start, jpos,
+                              side="right") - 1
+        gpos = (self.data.seg_global_start[seg]
+                + (jpos - self.data.seg_joined_start[seg]))
+        rid_all = np.searchsorted(self.data.ref_cum, gpos,
+                                  side="right") - 1
+        roff_all = gpos - self.data.ref_cum[rid_all]
+        overrides = {}
+        for t, ri in enumerate(idxs):
+            s0 = spans[t]
+            wf, wr = int(w_fw[ri]), int(w_rc[ri])
+            L = int(lens[ri])
+            ok = jpos[s0:s0 + wf + wr] + L <= \
+                self._seg_end_joined[seg[s0:s0 + wf + wr]]
+            rec = records[ri]
+            seed = gen_rand_seed(rec.seq, rec.qual + 33, rec.name)
+            res = replay_ee_read(int(seed), wf, wr, ok[:wf], ok[wf:],
+                                 pol.khits, pol.mhits, pol.all_hits)
+            if res is None:
+                continue
+            acc, perm, maxed = res
+            recs = []
+            for j in perm:
+                ori, elt = acc[j]
+                k = s0 + (elt if ori == 0 else wf + elt)
+                recs.append((int(rid_all[k]), int(roff_all[k]), ori))
+            overrides[int(ri)] = (recs, maxed, len(acc))
+        return overrides
+
     def submit(self, records: Sequence[SeqRecord]) -> Optional[FusedBatch]:
         """Dispatch the fused device program for one batch (non-blocking)."""
         if not records:
@@ -1118,6 +1199,7 @@ class UnpairedAligner(BatchAligner):
             .reshape(CHOSEN_FIELDS, Bc)
         (ch_ok, ch_or, ch_rid, ch_roff, ch_rdstart, ch_rdend, ch_nmm,
          ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
+        ovr = self._ee_replay_overrides(fb, meta)
         n_dropped = int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc])
         if n_dropped > 0:
             # DP budget overflow: rerun this batch on the uncapped
@@ -1168,6 +1250,14 @@ class UnpairedAligner(BatchAligner):
                 st.unal += 1
                 out.append(self._unaligned(rec, self.YF_STR[int(fb.yf[ri])]))
                 continue
+            if ri in ovr:
+                recs_o, _maxed_o, _cnt_o = ovr[ri]
+                out.extend(self._synth_replay_group(
+                    rec, recs_o, _cnt_o, L, int(fb.minsc[ri]),
+                    lambda o, _ri=ri, _L=L: (fb.fw[_ri, :_L], fb.qu[_ri, :_L])
+                    if o == 0 else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L])))
+                st.al_multi += 1
+                continue
             nr = int(n_rank[ri])
             if nr == 0:
                 st.unal += 1
@@ -1181,9 +1271,17 @@ class UnpairedAligner(BatchAligner):
                     break
                 best = int(ch_score[ci])
                 if khits > 1:
-                    # -k/-a mode: MAPQ unsupported → 255 (unique.h:202)
-                    mq = 255
-                    sec = int(r_score[1, ri]) if j == 0 and nr > 1 else None
+                    # -k/-a mode (unique.h:202): secondary records get 255;
+                    # the primary gets a real MAPQ when a second-best EXISTS
+                    # (without one the search "didn't really look"), and
+                    # every record carries XS when there is a second-best
+                    sec = int(r_score[1, ri]) if nr > 1 else None
+                    if j == 0 and sec is not None:
+                        per = int(fb.perfect[ri]) if pol.local else 0
+                        mq = mapq_v2(best, sec, per, int(fb.minsc[ri]),
+                                     pol.local)
+                    else:
+                        mq = 255
                 else:
                     sec = int(r_score[1, ri]) if r_valid[1, ri] else None
                     per = int(fb.perfect[ri]) if pol.local else 0
@@ -1256,6 +1354,7 @@ class UnpairedAligner(BatchAligner):
             .reshape(CHOSEN_FIELDS, Bc)
         (ch_ok, ch_or, ch_rid, ch_roff, ch_rdstart, ch_rdend, ch_nmm,
          ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
+        ovr = self._ee_replay_overrides(fb, meta)
         if int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc]) > 0:
             out = self._align_batch_host(fb.records)   # rare overflow
             groups, t = [], 0
@@ -1277,8 +1376,14 @@ class UnpairedAligner(BatchAligner):
                  & (np.arange(kk_bt)[:, None] < n_rep[None, :])
                  & live_col[None, :]
                  & (ch_sccheck == ch_score).reshape(kk_bt, Bp))
+        if ovr:
+            ovr_arr = np.zeros(Bp, bool)
+            ovr_arr[list(ovr)] = True
+            emit2 &= ~ovr_arr[None, :]   # replay reads emit synth groups
         n_emit = emit2.sum(axis=0)
         unal = (np.arange(Bp) < B) & (n_emit == 0)
+        if ovr:
+            unal &= ~ovr_arr
 
         # record table: aligned records (ci order) then unaligned reads
         cis = np.nonzero(emit2.reshape(-1))[0].astype(np.int32)
@@ -1320,10 +1425,18 @@ class UnpairedAligner(BatchAligner):
                 if sec is not None:
                     xs[t] = sec
         else:
+            # -k/-a mode (unique.h:202): XS on every record with a
+            # second-best; primary MAPQ computed when second-best exists
             has2 = r_valid[1] if kk > 1 else np.zeros(Bp, bool)
             first = emit_rank == 1
-            xs[:nal] = np.where(first & has2[ri_al], r_score[1, ri_al]
+            xs[:nal] = np.where(has2[ri_al], r_score[1, ri_al]
                                 if kk > 1 else XS_OMIT, XS_OMIT)
+            for t in np.nonzero(first & has2[ri_al])[0]:
+                ri = ri_al[t]
+                per = int(fb.perfect[ri]) if pol.local else 0
+                mapq[t] = mapq_v2(int(ch_score[cis[t]]),
+                                  int(r_score[1, ri]), per,
+                                  int(fb.minsc[ri]), pol.local)
 
         if self._names_tab is None:
             self._names_tab = RefNameTable(self.data.ref_names)
@@ -1354,19 +1467,60 @@ class UnpairedAligner(BatchAligner):
             groups[ri_un[t]].append(
                 (int(flag[nal + t]),
                  fb.records[ri_un[t]].name.encode() + tails[nal + t]))
+        for ri_o, (recs_o, _maxed_o, _cnt_o) in ovr.items():
+            L_o = int(fb.lens[ri_o])
+            rec_o = fb.records[ri_o]
+            for r in self._synth_replay_group(
+                    rec_o, recs_o, _cnt_o, L_o, int(fb.minsc[ri_o]),
+                    lambda o, _ri=ri_o, _L=L_o:
+                    (fb.fw[_ri, :_L], fb.qu[_ri, :_L]) if o == 0
+                    else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L])):
+                groups[ri_o].append((r.flag, r.line().encode() + suffix))
 
         st = AlignStats()
         st.reads = B
         st.filtered = int(fb.filtered[:B].sum())
         st.unal = int(unal.sum())
         multi = (n_emit > 0) & (n_rank > 1) & live_col
-        st.al_multi = int(multi.sum())
+        st.al_multi = int(multi.sum()) + len(ovr)
         st.al_one = int(((n_emit > 0) & ~multi).sum())
         self._merge_stats(st)
         self.metrics.add(t_host=_time.time() - _t)
         return groups
 
     _names_tab = None
+
+    def _synth_replay_group(self, rec: SeqRecord, recs, cnt: int, L: int,
+                            minsc_ri: int, oriented) -> List[SamAlignment]:
+        """Build the full SAM record group for an RNG-replayed exact-
+        multimap read. All alignments are perfect end-to-end matches, so
+        the records are clones differing only in position/orientation —
+        no DP or backtrace involved.
+
+        recs: [(rid, roff, orient)] in reference priority order; cnt: how
+        many alignments existed (> len(recs) when -k truncates); oriented:
+        orient -> (codes, quals)."""
+        pol = self.pol
+        kmode = pol.all_hits or pol.khits > 1
+        # exact e2e AS = 0; the second-best is another perfect tie, so
+        # XS:i:0 on every record and the primary MAPQ comes from the
+        # best==secbest branch of the V2 table (unique.h:170)
+        mq0 = mapq_v2(0, 0, 0, minsc_ri, False)
+        out = []
+        for j, (rid_, roff_, ori) in enumerate(recs):
+            codes, quals = oriented(ori)
+            flag = (FLAG_REVERSE if ori else 0) | (0x100 if j else 0)
+            mq = (mq0 if j == 0 else 255) if kmode else mq0
+            opts = [("AS", "i", 0), ("XS", "i", 0), ("XN", "i", 0),
+                    ("XM", "i", 0), ("XO", "i", 0), ("XG", "i", 0),
+                    ("NM", "i", 0), ("MD", "Z", str(L)), ("YT", "Z", "UU")]
+            out.append(SamAlignment(
+                qname=rec.name, flag=flag,
+                rname=self.data.ref_names[rid_], pos=roff_ + 1, mapq=mq,
+                cigar=f"{L}{'=' if pol.xeq else 'M'}",
+                seq=decode_seq(codes.astype(np.uint8)).decode(),
+                qual=qual_string(quals), opts=opts))
+        return out
 
     def _align_batch_host(self, records: Sequence[SeqRecord]
                           ) -> List[SamAlignment]:
@@ -1376,6 +1530,19 @@ class UnpairedAligner(BatchAligner):
         khits = 10**9 if pol.all_hits else pol.khits
         cs = self._search_candidates(records)
         ranked = self._rank_per_read(cs)
+        B = len(records)
+        ovr = {}
+        if not pol.local and cs.sw_top is not None:
+            ee_wf = np.where((cs.sw_ned[:B] == 0)
+                             & (cs.sw_bot[:B] > cs.sw_top[:B]),
+                             cs.sw_bot[:B] - cs.sw_top[:B], 0)
+            ee_wr = np.where((cs.sw_ned[B:] == 0)
+                             & (cs.sw_bot[B:] > cs.sw_top[B:]),
+                             cs.sw_bot[B:] - cs.sw_top[B:], 0)
+            ovr = self._replay_from_ranges(
+                records, cs.lens, cs.filtered, B,
+                cs.sw_top[:B].astype(np.int64), ee_wf,
+                cs.sw_top[B:].astype(np.int64), ee_wr)
         chosen = {ri: ks[:max(khits, 1) + (0 if khits > 1 else 1)]
                   for ri, ks in ranked.items()}
         sel = np.array(sorted({k for ks in chosen.values() for k in ks}),
@@ -1384,7 +1551,9 @@ class UnpairedAligner(BatchAligner):
 
         st = AlignStats()
         out: List[SamAlignment] = []
+        rd_start = np.zeros(len(records) + 1, np.int64)
         for ri, rec in enumerate(records):
+            rd_start[ri] = len(out)
             st.reads += 1
             L = int(cs.lens[ri])
             if cs.filtered[ri]:
@@ -1403,11 +1572,15 @@ class UnpairedAligner(BatchAligner):
             for rank, k in enumerate(ks[:n_report]):
                 best = int(scores[k])
                 if khits > 1:
-                    # -k/-a mode: MAPQ is unsupported → 255 (unique.h:202
-                    # "didn't really look for a second one")
-                    mq = 255
-                    sec = int(scores[ks[1]]) if rank == 0 and len(ks) > 1 \
-                        else None
+                    # -k/-a mode (unique.h:202): secondaries 255; primary
+                    # gets a real MAPQ when a second-best exists; XS on all
+                    sec = int(scores[ks[1]]) if len(ks) > 1 else None
+                    if rank == 0 and sec is not None:
+                        per = int(cs.perfect[ri]) if pol.local else 0
+                        mq = mapq_v2(best, sec, per, int(cs.minsc[ri]),
+                                     pol.local)
+                    else:
+                        mq = 255
                 else:
                     sec_k = ks[1] if len(ks) > 1 else None
                     sec = int(scores[sec_k]) if sec_k is not None else None
@@ -1429,6 +1602,14 @@ class UnpairedAligner(BatchAligner):
                 st.al_multi += 1
             else:
                 st.al_one += 1
+        rd_start[len(records)] = len(out)
+        for ri in sorted(ovr, reverse=True):
+            recs_o, _maxed_o, _cnt_o = ovr[ri]
+            L_o = int(cs.lens[ri])
+            grp = self._synth_replay_group(
+                records[ri], recs_o, _cnt_o, L_o, int(cs.minsc[ri]),
+                lambda o, _ri=ri: self._oriented(cs, _ri, o))
+            out[int(rd_start[ri]):int(rd_start[ri + 1])] = grp
         self._merge_stats(st)
         return out
 

@@ -91,6 +91,9 @@ class Policy:
     # reporting
     khits: int = 1                # -k
     all_hits: bool = False        # -a
+    mhits: int = 50               # -M (default 50, bt2_search.cpp:343);
+                                  # 0 = disabled (-k/-a set this, like the
+                                  # reference's mutual exclusion)
     # paired-end geometry
     minins: int = 0               # -I
     maxins: int = 500             # -X
