@@ -142,13 +142,14 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
     bwt_words = pack_2bit(bwt_padded)
 
     # occ checkpoints: counts of c in bwt_padded[0 : 128*b] (includes
-    # spurious A); per-block counts then an exclusive cumsum — O(n) int32
+    # spurious A); per-block counts then an exclusive cumsum — O(n) int32.
+    # Padding zeros only pollute the LAST block's 'A' count; subtract them
+    # instead of materializing an n-sized validity matrix.
     blk = bwt_padded.reshape(nblocks, OCC_BLOCK)
-    valid = (np.arange(nblocks * OCC_BLOCK) < nrows).reshape(nblocks,
-                                                             OCC_BLOCK)
     per_block = np.stack(
-        [((blk == c) & valid).sum(axis=1) for c in range(4)],
+        [(blk == c).sum(axis=1) for c in range(4)],
         axis=1).astype(np.int64)
+    per_block[-1, 0] -= nblocks * OCC_BLOCK - nrows
     occ_cp = np.concatenate(
         [np.zeros((1, 4), np.int64),
          np.cumsum(per_block, axis=0)[:-1]]).astype(rdt)
@@ -157,10 +158,12 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
     counts = np.bincount(text, minlength=4)[:4]
     fchr = np.concatenate([[1], 1 + np.cumsum(counts)]).astype(rdt)[:5]
 
-    # ftab: keys = first K chars of each suffix (in SA order → sorted).
-    # Build per-position keys with sequential shifted adds (cache-friendly)
-    # then permute with ONE random gather — ~6x less random DRAM traffic
-    # than per-suffix accumulation at genome scale.
+    # ftab boundaries: ftab[v] = #suffixes whose disambiguated K-char key
+    # (key*2 + isFull) is < v. The count is ORDER-INDEPENDENT, so no SA
+    # gather and no sorted-key array are needed at all: build per-position
+    # keys with sequential shifted adds (cache-friendly), histogram them
+    # chunked (the 2*4^K-bin counts stay cache-resident), prefix-sum.
+    # Replaces a 100M-element searchsorted that cost ~25% of total build.
     K = ftab_chars
     assert K <= 15, "ftab keys are uint32 (4^15 max)"
     keys_text = np.zeros(n + 1, dtype=np.uint32)
@@ -168,13 +171,17 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
     for j in range(K):
         keys_text *= 4
         keys_text += tpad[j:j + n + 1]
-    keys2 = keys_text[sa]            # uint32: 2x less peak RAM at Gbp scale
+    keys_text *= 2
+    keys_text[:max(n - K + 1, 0)] += 1      # isFull: suffix has >= K chars
+    nbin = 2 * 4**K
+    counts_k = np.zeros(nbin, dtype=np.int64)
+    CH = 1 << 28
+    for s in range(0, n + 1, CH):
+        counts_k += np.bincount(keys_text[s:s + CH], minlength=nbin)
     del keys_text
-    keys2 *= 2
-    keys2 += (sa + K <= n)
-    ftab = np.searchsorted(keys2, np.arange(2 * 4**K + 1,
-                                            dtype=np.uint32)).astype(rdt)
-    del keys2
+    ftab = np.concatenate(
+        [[0], np.cumsum(counts_k)]).astype(rdt)
+    del counts_k
 
     half = HalfIndex(
         n=n, z_off=z_off, bwt_words=bwt_words, occ_cp=occ_cp, fchr=fchr,

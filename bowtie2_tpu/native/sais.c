@@ -188,3 +188,159 @@ int sais_int64(const i64 *T, i64 *SA, i64 n, i64 K) {
     struct view v = { T, 1 };
     return sais_rec(&v, SA, n, K);
 }
+
+/* ---------------- uint32 variant (n < 2^32 - 1) ----------------
+ *
+ * Same algorithm with 4-byte indexes: halves the SA / scratch memory AND
+ * the random-access DRAM traffic, which dominates genome-scale builds.
+ * Covers every ".bt2l"-scale genome up to ~4.29 Gbp (GRCh38 is 3.1), so
+ * the int64 path above is only needed beyond that. EMPTY32 replaces the
+ * -1 hole marker. */
+
+typedef uint32_t u32;
+#define EMPTY32 0xFFFFFFFFu
+
+struct view32 {
+    const void *T;
+    int wide;        /* 0: uint8_t, 1: u32 */
+};
+
+static inline u32 chr_at32(const struct view32 *v, u32 i) {
+    return v->wide ? ((const u32 *)v->T)[i] : ((const uint8_t *)v->T)[i];
+}
+
+static void bucket_bounds32(const struct view32 *v, u32 n, u32 K, u32 *B,
+                            int ends) {
+    u32 i;
+    u32 *cnt = (u32 *)calloc((size_t)K, sizeof(u32));
+    for (i = 0; i < n; i++) cnt[chr_at32(v, i)]++;
+    u32 sum = 0;
+    for (i = 0; i < K; i++) {
+        sum += cnt[i];
+        B[i] = ends ? sum : sum - cnt[i];
+    }
+    free(cnt);
+}
+
+static void induce32(const struct view32 *v, unsigned char *ty, u32 *SA,
+                     u32 n, u32 K, u32 *B) {
+    u32 i;
+    i64 ii;
+    bucket_bounds32(v, n, K, B, 0);
+    for (i = 0; i < n; i++) {
+        u32 j = SA[i];
+        if (j != EMPTY32 && j > 0 && ty[j - 1] == L_TYPE)
+            SA[B[chr_at32(v, j - 1)]++] = j - 1;
+    }
+    bucket_bounds32(v, n, K, B, 1);
+    for (ii = (i64)n - 1; ii >= 0; ii--) {
+        u32 j = SA[ii];
+        if (j != EMPTY32 && j > 0 && ty[j - 1] == S_TYPE)
+            SA[--B[chr_at32(v, j - 1)]] = j - 1;
+    }
+}
+
+static int sais_rec32(const struct view32 *v, u32 *SA, u32 n, u32 K) {
+    u32 i, j;
+    i64 ii;
+    if (n == 0) return 0;
+    if (n == 1) { SA[0] = 0; return 0; }
+
+    unsigned char *ty = (unsigned char *)malloc((size_t)n);
+    u32 *B = (u32 *)malloc((size_t)K * sizeof(u32));
+    if (!ty || !B) { free(ty); free(B); return -2; }
+
+    ty[n - 1] = S_TYPE;
+    for (ii = (i64)n - 2; ii >= 0; ii--) {
+        u32 c0 = chr_at32(v, (u32)ii), c1 = chr_at32(v, (u32)ii + 1);
+        ty[ii] = (c0 < c1 || (c0 == c1 && ty[ii + 1] == S_TYPE))
+                     ? S_TYPE : L_TYPE;
+    }
+
+    /* step 1: sort LMS substrings by one induction round */
+    for (i = 0; i < n; i++) SA[i] = EMPTY32;
+    bucket_bounds32(v, n, K, B, 1);
+    for (ii = (i64)n - 1; ii > 0; ii--) {
+        if (is_lms(ty, ii)) SA[--B[chr_at32(v, (u32)ii)]] = (u32)ii;
+    }
+    SA[0] = n - 1;
+    induce32(v, ty, SA, n, K, B);
+
+    /* step 2: name LMS substrings in sorted order */
+    u32 *sorted = SA;
+    j = 0;
+    for (i = 0; i < n; i++) {
+        u32 p = SA[i];
+        if (p == n - 1 || is_lms(ty, p)) sorted[j++] = p;
+    }
+    u32 nlms = j;
+    u32 *name_buf = SA + nlms;      /* p>>1 slots, same in-SA trick */
+    u32 name = 0, prev = EMPTY32;
+    for (i = 0; i < nlms; i++) {
+        u32 p = sorted[i];
+        int diff = 0;
+        if (prev == EMPTY32) {
+            diff = 1;
+        } else {
+            for (j = 0;; j++) {
+                u32 a = p + j, b = prev + j;
+                if (a >= n || b >= n) { diff = 1; break; }
+                if (chr_at32(v, a) != chr_at32(v, b) || ty[a] != ty[b]) {
+                    diff = 1;
+                    break;
+                }
+                if (j > 0 && (is_lms(ty, a) || is_lms(ty, b))) {
+                    diff = !(is_lms(ty, a) && is_lms(ty, b));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = p; }
+        name_buf[p >> 1] = name - 1;
+    }
+
+    u32 *red = (u32 *)malloc((size_t)nlms * sizeof(u32));
+    u32 *lms_pos = (u32 *)malloc((size_t)nlms * sizeof(u32));
+    u32 *red_sa = (u32 *)malloc((size_t)nlms * sizeof(u32));
+    if (!red || !lms_pos || !red_sa) {
+        free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+        return -2;
+    }
+    j = 0;
+    for (i = 0; i < n; i++) {
+        if (i == n - 1 || is_lms(ty, i)) {
+            lms_pos[j] = i;
+            red[j++] = name_buf[i >> 1];
+        }
+    }
+
+    if (name < nlms) {
+        struct view32 rv = { red, 1 };
+        int rc = sais_rec32(&rv, red_sa, nlms, name);
+        if (rc != 0) {
+            free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+            return rc;
+        }
+    } else {
+        for (i = 0; i < nlms; i++) red_sa[red[i]] = i;
+    }
+
+    /* step 3: place sorted LMS, induce final SA */
+    for (i = 0; i < n; i++) SA[i] = EMPTY32;
+    bucket_bounds32(v, n, K, B, 1);
+    for (ii = (i64)nlms - 1; ii >= 1; ii--) {
+        u32 p = lms_pos[red_sa[ii]];
+        SA[--B[chr_at32(v, p)]] = p;
+    }
+    SA[0] = n - 1;
+    induce32(v, ty, SA, n, K, B);
+
+    free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+    return 0;
+}
+
+int sais_u8_32(const uint8_t *T, u32 *SA, i64 n, i64 K) {
+    if (n < 0 || n >= (i64)EMPTY32 || K <= 0 || K > 256) return -1;
+    struct view32 v = { T, 0 };
+    return sais_rec32(&v, SA, (u32)n, (u32)K);
+}
