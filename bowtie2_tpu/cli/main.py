@@ -105,6 +105,7 @@ def _build_align_parser():
     ap.add_argument("-k", dest="khits", type=int, default=None)
     ap.add_argument("-a", "--all", dest="all_hits", action="store_true")
     ap.add_argument("-M", dest="mhits", type=int, default=None)
+    ap.add_argument("--mapq-v", dest="mapq_v", type=int, default=None)
     ap.add_argument("-D", dest="fail_streak", type=int, default=None)
     ap.add_argument("-R", dest="seed_rounds", type=int, default=None)
     # paired-end
@@ -114,10 +115,10 @@ def _build_align_parser():
     ap.add_argument("--rf", dest="orient", action="store_const", const="rf")
     ap.add_argument("--ff", dest="orient", action="store_const", const="ff")
     ap.add_argument("--no-mixed", action="store_true")
-    ap.add_argument("--no-discordant", action="store_true")
     ap.add_argument("--dovetail", action="store_true")
     ap.add_argument("--no-contain", action="store_true")
     ap.add_argument("--no-overlap", action="store_true")
+    ap.add_argument("--no-discordant", action="store_true")
     # output
     ap.add_argument("--un", default=None)
     ap.add_argument("--al", default=None)
@@ -185,6 +186,8 @@ def cmd_align(argv):
         overrides["mhits"] = 0      # -a disables -M
     if args.mhits is not None:
         overrides["mhits"] = args.mhits
+    if args.mapq_v is not None:
+        overrides["mapq_v"] = args.mapq_v
     if args.fail_streak is not None:
         overrides["fail_streak"] = args.fail_streak
     if args.seed_rounds is not None:
@@ -204,6 +207,12 @@ def cmd_align(argv):
     overrides["maxins"] = args.maxins
     if args.orient:
         overrides["mate_fw_rc"] = args.orient
+    if args.dovetail:
+        overrides["dovetail_ok"] = True
+    if getattr(args, "no_contain"):
+        overrides["contain_ok"] = False
+    if getattr(args, "no_overlap"):
+        overrides["olap_ok"] = False
     if args.ma is not None:
         overrides["match_bonus"] = args.ma
     if args.np is not None:
@@ -494,6 +503,29 @@ def main(argv=None):
         print("usage: bt2x {build|align|inspect} ...", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
+    # -A <argfile> batch mode (reference bowtie_main.cpp:72-100): one full
+    # argument set per line, dispatched sequentially; the index and the
+    # compiled pipelines stay warm across lines within this process.
+    if cmd == "-A" or (rest and rest[0] == "-A"):
+        if cmd == "-A":
+            pre, file = [], rest[0] if rest else None
+        else:
+            pre, file = [cmd], rest[1] if len(rest) > 1 else None
+        if file is None:
+            print("-A requires an argument file", file=sys.stderr)
+            return 2
+        lastret = -1
+        with open(file) as f:
+            for line in f:
+                args = line.split()
+                if not args:
+                    continue
+                lastret = main(pre + args)
+        if lastret == -1:
+            print(f"Warning: No arg strings parsed from {file}",
+                  file=sys.stderr)
+            return 0
+        return lastret
     if cmd == "build":
         return cmd_build(rest)
     if cmd == "align":

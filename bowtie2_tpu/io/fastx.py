@@ -28,16 +28,51 @@ class SeqRecord:
 
 
 def _open_text(path: str):
+    """Open possibly-compressed read/reference files. Codecs detected by
+    magic bytes (seekable) or extension (pipes): gzip, bzip2, xz, zstd —
+    the reference handles gz natively and bz2/zst/lz4 via wrapper FIFOs /
+    zstd_decompress.cpp; here the stdlib codecs cover gz/bz2/xz and zstd
+    uses the zstandard module when present (fails loudly otherwise)."""
     f = open(path, "rb")
-    if f.seekable():
-        magic = f.read(2)
-        f.seek(0)
-        if magic == b"\x1f\x8b":
+
+    def wrap(kind):
+        if kind == "gz":
             return io.BufferedReader(gzip.GzipFile(fileobj=f))
-        return f
-    if path.endswith(".gz"):
-        return io.BufferedReader(gzip.GzipFile(fileobj=f))
-    return io.BufferedReader(f)  # pipe/FIFO: rely on extension for gzip
+        if kind == "bz2":
+            import bz2
+            return io.BufferedReader(bz2.BZ2File(f))
+        if kind == "xz":
+            import lzma
+            return io.BufferedReader(lzma.LZMAFile(f))
+        if kind == "zst":
+            try:
+                import zstandard
+            except ImportError as e:
+                raise RuntimeError(
+                    f"{path}: zstd input needs the 'zstandard' module"
+                ) from e
+            return io.BufferedReader(
+                zstandard.ZstdDecompressor().stream_reader(f))
+        return None
+
+    if f.seekable():
+        magic = f.read(6)
+        f.seek(0)
+        kind = None
+        if magic[:2] == b"\x1f\x8b":
+            kind = "gz"
+        elif magic[:3] == b"BZh":
+            kind = "bz2"
+        elif magic[:6] == b"\xfd7zXZ\x00":
+            kind = "xz"
+        elif magic[:4] == b"\x28\xb5\x2f\xfd":
+            kind = "zst"
+        return wrap(kind) or f
+    for ext, kind in ((".gz", "gz"), (".bz2", "bz2"), (".xz", "xz"),
+                      (".zst", "zst")):
+        if path.endswith(ext):
+            return wrap(kind)
+    return io.BufferedReader(f)  # pipe/FIFO: rely on extension
 
 
 def read_fasta(path: str, _fh=None) -> List[Tuple[str, np.ndarray]]:

@@ -699,6 +699,14 @@ class BatchAligner:
             return cs.fw[ri, :L], cs.qu[ri, :L]
         return cs.rc[ri, :L], cs.qu_r[ri, :L]
 
+    def _mapq(self, best, sec, per, minsc, paired: bool = False) -> int:
+        """Route MAPQ through the policy's --mapq-v version (V2 default;
+        V3 = unique.h:96 bin-lookup, paired reads fixed at 44)."""
+        if self.pol.mapq_v == 3:
+            from bowtie2_tpu.pipeline.mapq import mapq_v3
+            return mapq_v3(best, sec, per, minsc, paired)
+        return mapq_v2(best, sec, per, minsc, self.pol.local)
+
     def _merge_stats(self, st: AlignStats) -> None:
         with self._stats_lock:
             self.stats.merge(st)
@@ -1278,14 +1286,13 @@ class UnpairedAligner(BatchAligner):
                     sec = int(r_score[1, ri]) if nr > 1 else None
                     if j == 0 and sec is not None:
                         per = int(fb.perfect[ri]) if pol.local else 0
-                        mq = mapq_v2(best, sec, per, int(fb.minsc[ri]),
-                                     pol.local)
+                        mq = self._mapq(best, sec, per, int(fb.minsc[ri]))
                     else:
                         mq = 255
                 else:
                     sec = int(r_score[1, ri]) if r_valid[1, ri] else None
                     per = int(fb.perfect[ri]) if pol.local else 0
-                    mq = mapq_v2(best, sec, per, int(fb.minsc[ri]), pol.local)
+                    mq = self._mapq(best, sec, per, int(fb.minsc[ri]))
                 di = decoded[ci]
                 if di < 0:
                     continue   # backtrace inconsistency: skip (safety net)
@@ -1420,8 +1427,8 @@ class UnpairedAligner(BatchAligner):
                 ri = ri_al[t]
                 sec = int(r_score[1, ri]) if has2[ri] else None
                 per = int(fb.perfect[ri]) if pol.local else 0
-                mapq[t] = mapq_v2(int(ch_score[cis[t]]), sec, per,
-                                  int(fb.minsc[ri]), pol.local)
+                mapq[t] = self._mapq(int(ch_score[cis[t]]), sec, per,
+                                     int(fb.minsc[ri]))
                 if sec is not None:
                     xs[t] = sec
         else:
@@ -1434,9 +1441,9 @@ class UnpairedAligner(BatchAligner):
             for t in np.nonzero(first & has2[ri_al])[0]:
                 ri = ri_al[t]
                 per = int(fb.perfect[ri]) if pol.local else 0
-                mapq[t] = mapq_v2(int(ch_score[cis[t]]),
-                                  int(r_score[1, ri]), per,
-                                  int(fb.minsc[ri]), pol.local)
+                mapq[t] = self._mapq(int(ch_score[cis[t]]),
+                                     int(r_score[1, ri]), per,
+                                     int(fb.minsc[ri]))
 
         if self._names_tab is None:
             self._names_tab = RefNameTable(self.data.ref_names)
@@ -1501,19 +1508,27 @@ class UnpairedAligner(BatchAligner):
         many alignments existed (> len(recs) when -k truncates); oriented:
         orient -> (codes, quals)."""
         pol = self.pol
-        kmode = pol.all_hits or pol.khits > 1
-        # exact e2e AS = 0; the second-best is another perfect tie, so
-        # XS:i:0 on every record and the primary MAPQ comes from the
-        # best==secbest branch of the V2 table (unique.h:170)
-        mq0 = mapq_v2(0, 0, 0, minsc_ri, False)
+        kmode = pol.all_hits or pol.khits > 1 or pol.mhits == 0
+        # exact e2e AS = 0. cnt = alignments the reference ACCUMULATED
+        # before its ReportingState cap (-k 1 stops at one → no
+        # second-best was ever seen → no XS, MAPQ 255 in k-mode /
+        # unique-value otherwise; unique.h:202 oracle-verified).
+        has_sec = cnt > 1
+        mq0 = self._mapq(0, 0 if has_sec else None, 0, minsc_ri)
         out = []
         for j, (rid_, roff_, ori) in enumerate(recs):
             codes, quals = oriented(ori)
             flag = (FLAG_REVERSE if ori else 0) | (0x100 if j else 0)
-            mq = (mq0 if j == 0 else 255) if kmode else mq0
-            opts = [("AS", "i", 0), ("XS", "i", 0), ("XN", "i", 0),
-                    ("XM", "i", 0), ("XO", "i", 0), ("XG", "i", 0),
-                    ("NM", "i", 0), ("MD", "Z", str(L)), ("YT", "Z", "UU")]
+            if kmode:
+                mq = mq0 if (j == 0 and has_sec) else 255
+            else:
+                mq = mq0
+            opts = [("AS", "i", 0)]
+            if has_sec:
+                opts.append(("XS", "i", 0))
+            opts += [("XN", "i", 0),
+                     ("XM", "i", 0), ("XO", "i", 0), ("XG", "i", 0),
+                     ("NM", "i", 0), ("MD", "Z", str(L)), ("YT", "Z", "UU")]
             out.append(SamAlignment(
                 qname=rec.name, flag=flag,
                 rname=self.data.ref_names[rid_], pos=roff_ + 1, mapq=mq,
@@ -1577,15 +1592,14 @@ class UnpairedAligner(BatchAligner):
                     sec = int(scores[ks[1]]) if len(ks) > 1 else None
                     if rank == 0 and sec is not None:
                         per = int(cs.perfect[ri]) if pol.local else 0
-                        mq = mapq_v2(best, sec, per, int(cs.minsc[ri]),
-                                     pol.local)
+                        mq = self._mapq(best, sec, per, int(cs.minsc[ri]))
                     else:
                         mq = 255
                 else:
                     sec_k = ks[1] if len(ks) > 1 else None
                     sec = int(scores[sec_k]) if sec_k is not None else None
                     per = int(cs.perfect[ri]) if pol.local else 0
-                    mq = mapq_v2(best, sec, per, int(cs.minsc[ri]), pol.local)
+                    mq = self._mapq(best, sec, per, int(cs.minsc[ri]))
                 orient = int(cs.cand_or[k])
                 codes, quals = self._oriented(cs, ri, orient)
                 flag_extra = 0x100 if n_emitted > 0 else 0
@@ -1785,7 +1799,7 @@ class PairedAligner(BatchAligner):
                         pol.mate_fw_rc,
                         ext_lo[k1], ext_hi[k1], cs.cand_or[k1] == 0,
                         ext_lo[k2], ext_hi[k2], cs.cand_or[k2] == 0,
-                        pol.minins, pol.maxins)
+                        pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
                     if typ != PE_DISCORD:
                         combos.append((int(scores[k1] + scores[k2]), k1, k2))
                         succ_cross.add(k1)
@@ -1838,6 +1852,10 @@ class PairedAligner(BatchAligner):
                 opp_ri = (B + i) if mate == 0 else i
                 if cs.filtered[opp_ri] or cs.lens[opp_ri] == 0:
                     continue
+                if _eff_ranked(opp_ri):
+                    # opposite mate already aligned validly: no rescue
+                    # (matches the reference's observed give-up behavior)
+                    continue
                 rescue_specs.append((i, ak, opp_ri, 0 if opp_fw else 1, wlo))
 
         rpool = None
@@ -1872,13 +1890,13 @@ class PairedAligner(BatchAligner):
                                       ext_lo[ak], ext_hi[ak],
                                       cs.cand_or[ak] == 0,
                                       rlo, rhi, opp_or == 0,
-                                      pol.minins, pol.maxins)
+                                      pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
                 else:
                     typ = pe_classify(pol.mate_fw_rc,
                                       rlo, rhi, opp_or == 0,
                                       ext_lo[ak], ext_hi[ak],
                                       cs.cand_or[ak] == 0,
-                                      pol.minins, pol.maxins)
+                                      pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
                 if typ != PE_DISCORD:
                     sc_sum = int(scores[ak] + rpool.scores[t])
                     conc.setdefault(i, []).append(
@@ -2048,7 +2066,7 @@ class PairedAligner(BatchAligner):
             (OR[m1] == 0)[:, :, None],
             LO[m2][:, None, :], HI[m2][:, None, :],
             (OR[m2] == 0)[:, None, :],
-            pol.minins, pol.maxins)
+            pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
         conc &= typ != _PED
         SUCC = np.concatenate([conc.any(axis=2), conc.any(axis=1)], axis=0)
 
@@ -2137,6 +2155,13 @@ class PairedAligner(BatchAligner):
                 opp_ri = (Bp + i) if mate == 0 else i
                 if fpb.filtered[opp_ri] or fpb.lens[opp_ri] == 0:
                     continue
+                if has_l[opp_ri]:
+                    # opposite mate already has a valid alignment: the
+                    # reference does not rescue-replace it with a worse
+                    # squeezed-into-the-fragment alignment (observed: its
+                    # mate DP never yields a concordant pair in this
+                    # situation — the r1105-class give-ups)
+                    continue
                 rescue_specs.append((int(i), ri, int(ak_s), opp_ri,
                                      0 if opp_fw else 1, wlo))
         rpool = None
@@ -2172,11 +2197,11 @@ class PairedAligner(BatchAligner):
                 if opp_ri >= Bp:     # opposite is mate 2 → anchor is mate 1
                     typr = pe_classify(pol.mate_fw_rc, alo, ahi, afw,
                                        rlo, rhi, opp_or == 0,
-                                       pol.minins, pol.maxins)
+                                       pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
                 else:
                     typr = pe_classify(pol.mate_fw_rc, rlo, rhi,
                                        opp_or == 0, alo, ahi, afw,
-                                       pol.minins, pol.maxins)
+                                       pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
                 if typr != PE_DISCORD:
                     sc_sum = int(S[ari, ak_s]) + int(rpool.scores[t])
                     rconc[i] = ("r", int(CPOS[ari, ak_s]), t, opp_ri,
@@ -2333,7 +2358,7 @@ class PairedAligner(BatchAligner):
         # paired MAPQ: summed scores vs summed minima (unique.h paired path)
         minsum = int(cs.minsc[i] + cs.minsc[B + i])
         persum = int(cs.perfect[i] + cs.perfect[B + i]) if pol.local else 0
-        mq = mapq_v2(sc_sum, sec_sum, persum, minsum, pol.local)
+        mq = self._mapq(sc_sum, sec_sum, persum, minsum, paired=True)
 
         # TLEN: soft-clip-EXTENDED extents (reference getExtendedCoords /
         # setFragmentLength, aligner_result.h:1311-1341) — clipped bases
@@ -2396,19 +2421,29 @@ class PairedAligner(BatchAligner):
                 best = int(scores[best_k])
                 sec = int(scores[sec_k]) if sec_k is not None else None
                 per = int(cs.perfect[ri]) if pol.local else 0
-                mq = mapq_v2(best, sec, per, int(cs.minsc[ri]), pol.local)
+                mq = self._mapq(best, sec, per, int(cs.minsc[ri]))
                 orient = int(cs.cand_or[best_k])
                 codes, quals = self._oriented(cs, ri, orient)
                 rnext, pnext = ("*", 0)
+                own_echo = False
                 if not other_aligned:
                     # own coords echoed (reference half-mapped convention)
                     rnext = "="
+                    own_echo = True
+                else:
+                    # both mates aligned but not as a pair: the reference
+                    # still cross-references them (RNEXT '=', PNEXT =
+                    # other's POS, TLEN 0; sam.cpp mixed-mode convention)
+                    ok2 = other_lst[0]
+                    rnext = "="
+                    pnext = int(cs.pool.win_start[ok2])                         + tb_of[ok2][1]["ref_start_win"]                         - int(self.data.ref_cum[int(cs.pool.rid[ok2])]) + 1
+                    fl |= FLAG_MATE_REVERSE if cs.cand_or[ok2] else 0
                 r = self._emit_aligned(rec, int(cs.lens[ri]), orient, codes,
                                        quals, cs.pool, best_k, tb_of[best_k],
                                        best, sec, mq, "UP", fl,
                                        rnext=rnext, pnext=pnext)
                 if r is not None:
-                    if rnext == "=":
+                    if own_echo:
                         r.pnext = r.pos
                     out.append(r)
                     if sec is not None:

@@ -106,3 +106,47 @@ def mapq_v2(best: int, secbest: Optional[int], sc_per: int, sc_min: int,
         if bestdiff > 0:
             return 11 if best_over >= diff * _F(0.5) else 2
         return 1 if best_over >= diff * _F(0.5) else 0
+
+
+# ---------------- V3 (--mapq-v 3, unique.h:96 BowtieMapq3) ----------------
+# Bin-lookup model: best and best-vs-secbest distances stratified into 11
+# bins over the [scMin, scMax] score range (tables unique.cpp:26-66).
+
+UNP_NOSEC_PERF = 44
+UNP_NOSEC = (43, 42, 41, 36, 32, 27, 20, 11, 4, 1, 0)
+UNP_SEC_PERF = (2, 16, 23, 30, 31, 32, 34, 36, 38, 40, 42)
+UNP_SEC = (
+    (2, 2, 2, 1, 1, 0, 0, 0, 0, 0, 0),
+    (20, 14, 7, 3, 2, 1, 0, 0, 0, 0, 0),
+    (20, 16, 10, 6, 3, 1, 0, 0, 0, 0, 0),
+    (20, 17, 13, 9, 3, 1, 1, 0, 0, 0, 0),
+    (21, 19, 15, 9, 5, 2, 2, 0, 0, 0, 0),
+    (22, 21, 16, 11, 10, 5, 0, 0, 0, 0, 0),
+    (23, 22, 19, 16, 11, 0, 0, 0, 0, 0, 0),
+    (24, 25, 21, 30, 0, 0, 0, 0, 0, 0, 0),
+    (30, 26, 29, 0, 0, 0, 0, 0, 0, 0, 0),
+    (30, 27, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    (30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+)
+PAIR_NOSEC_PERF = 44
+
+
+def mapq_v3(best: int, secbest: Optional[int], sc_per: int, sc_min: int,
+            paired: bool = False) -> int:
+    """unique.h:96 BowtieMapq3 (paired reads always get 44)."""
+    if paired:
+        return PAIR_NOSEC_PERF
+    sc_max = sc_per
+    span = max(sc_max - sc_min, 1)
+    bdist = sc_max - best          # lower = better
+    best_bin = int(bdist * (10.0 / span) + 0.5)
+    best_bin = min(best_bin, 10)
+    if secbest is not None:
+        diff = best - secbest
+        diff_bin = min(int(diff * (10.0 / span) + 0.5), 10)
+        if best == sc_max:
+            return UNP_SEC_PERF[best_bin]
+        return UNP_SEC[diff_bin][best_bin]
+    if best == sc_max:
+        return UNP_NOSEC_PERF
+    return UNP_NOSEC[best_bin]

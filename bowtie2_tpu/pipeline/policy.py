@@ -94,12 +94,19 @@ class Policy:
     mhits: int = 50               # -M (default 50, bt2_search.cpp:343);
                                   # 0 = disabled (-k/-a set this, like the
                                   # reference's mutual exclusion)
+    mapq_v: int = 2               # --mapq-v (bt2_search.cpp:486)
     # paired-end geometry
     minins: int = 0               # -I
     maxins: int = 500             # -X
     mate_fw_rc: str = "fr"        # --fr/--rf/--ff
     no_mixed: bool = False
     no_discordant: bool = False
+    # concordant-pair geometry flags (bt2_search.cpp gOlapMatesOK/
+    # gContainMatesOK/gDovetailMatesOK; defaults olap+contain OK,
+    # dovetail NOT)
+    olap_ok: bool = True
+    contain_ok: bool = True
+    dovetail_ok: bool = False
     nofw: bool = False
     norc: bool = False
 

@@ -108,6 +108,150 @@ CASES = [
                  "CACACACACACACACACACACACACACACACA")]),
 ]
 
+def _rc(seq: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    return "".join(comp[c] for c in reversed(seq))
+
+
+
+# Round-3 expansion: MD:Z corners, XS:i families, -k/-M/-a reporting,
+# PE overlap/containment/dovetail geometry (simple_tests.pl sections
+# "MD:Z", "XS:i", "Q XS:i", "U.M./U.k.", "P.M./P.k.", PE flags).
+SEG = "TTTCGCTATTTATGAAAATTTTCCGGTTTAAGGCGTTTCC"          # 40bp unique-ish
+FILL1 = "ACCTGACCAACAACCTGATTACGGCATCACAGTTGGCTGT"
+FILL2 = "TGCCTGTTGGCTACAGGTGCTAATCCAGCTACCGCCGTAT"
+# two exact copies of SEG (equal-score multimap; RNG-replay covered)
+REF2COPY = SEG + FILL1 + SEG + FILL2
+# one exact copy + one 1-mismatch copy (distinct scores)
+SEG_MM = SEG[:19] + ("C" if SEG[19] != "C" else "A") + SEG[20:]
+REF2DIFF = SEG + FILL1 + SEG_MM + FILL2
+R26 = "TTTCGCTATTTATGAAAATTTTCCGG"
+
+CASES += [
+    # --- MD:Z corners (simple_tests.pl "MD:Z 1-4") ---
+    dict(name="MD mismatch at first base", ref=[LAMBDA60],
+         reads=["ATTCGCTATTTATGAAAATTTTCCGG"]),
+    dict(name="MD mismatch at last base", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCGT"]),
+    dict(name="MD adjacent mismatches", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCAGAAAATTTTCCGG"]),
+    dict(name="MD mismatch both ends", ref=[LAMBDA60],
+         reads=["ATTCGCTATTTATGAAAATTTTCCGT"]),
+    dict(name="MD deletion then mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTAGAAAATTTTACGGTTTAAGGC"]),
+    dict(name="MD insertion is invisible", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTAATGAAAATTTTCCGGTTTAAGGC"]),
+    dict(name="MD long deletion run", ref=[LAMBDA60],
+         reads=["GGGCGGCGACCTCGCGTTTTCGCTATTTATGAAAA"]),
+    dict(name="MD N in read counts as mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATNTATGAAAATTTTCCGG"]),
+    # --- XS:i with DISTINCT scores (no tie RNG involved) ---
+    dict(name="XS second-best one mismatch", ref=[REF2DIFF],
+         reads=[SEG]),
+    dict(name="XS absent for unique", ref=[LAMBDA60],
+         reads=[R26]),
+    dict(name="XS local mode", ref=[REF2DIFF],
+         reads=[SEG], local=True),
+    dict(name="XS --mp 3,3 changes gap", ref=[REF2DIFF],
+         reads=[SEG], mp=(3, 3)),
+    dict(name="Q XS high-qual mismatch", ref=[REF2DIFF],
+         reads=[(SEG, "I" * 40)]),
+    dict(name="Q XS low-qual mismatch", ref=[REF2DIFF],
+         reads=[(SEG, "#" * 40)]),
+    dict(name="Q XS --ignore-quals", ref=[REF2DIFF],
+         reads=[(SEG, "#" * 40)], ignore_quals=True),
+    # --- exact-multimap reporting modes (RNG replay; U.M./U.k. family) ---
+    dict(name="U default 2 equal hits", ref=[REF2COPY], reads=[SEG]),
+    dict(name="U default 2 equal hits rc", ref=[REF2COPY],
+         reads=["CCGGAAAATTTTCATAAATAGCGAAA"[::1]], ),
+    dict(name="U -k 1 of 2 hits", ref=[REF2COPY], reads=[SEG], khits=1),
+    dict(name="U -k 2 of 2 hits", ref=[REF2COPY], reads=[SEG], khits=2),
+    dict(name="U -k 3 of 2 hits", ref=[REF2COPY], reads=[SEG], khits=3),
+    dict(name="U -a of 2 hits", ref=[REF2COPY], reads=[SEG], all_hits=True),
+    dict(name="U -M 1 maxed", ref=[REF2COPY], reads=[SEG], mhits=1),
+    dict(name="U -M 2 not maxed", ref=[REF2COPY], reads=[SEG], mhits=2),
+    dict(name="U -k 2 with 1 hit", ref=[LAMBDA60], reads=[R26], khits=2),
+    dict(name="U -a with 1 hit", ref=[LAMBDA60], reads=[R26],
+         all_hits=True),
+    dict(name="U -M 1 with 1 hit", ref=[LAMBDA60], reads=[R26], mhits=1),
+    dict(name="U -k 2 distinct scores", ref=[REF2DIFF], reads=[SEG],
+         khits=2),
+    dict(name="U -a distinct scores", ref=[REF2DIFF], reads=[SEG],
+         all_hits=True),
+    # --- PE geometry: overlap / containment / dovetail (pe.cpp:37) ---
+    # REF180 mate layout: m1 fw at 1, m2 rc further right
+    dict(name="PE overlapping mates OK", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[20:52]))]),
+    dict(name="PE overlap forbidden", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[20:52]))], no_overlap=True),
+    dict(name="PE containment OK", ref=[REF180],
+         pairs=[(REF180[10:50], _rc(REF180[15:40]))]),
+    dict(name="PE containment forbidden", ref=[REF180],
+         pairs=[(REF180[10:50], _rc(REF180[15:40]))], no_contain=True),
+    dict(name="PE identical extents", ref=[REF180],
+         pairs=[(REF180[10:42], _rc(REF180[10:42]))]),
+    dict(name="PE dovetail default discordant", ref=[REF180],
+         pairs=[(REF180[30:62], _rc(REF180[10:42]))]),
+    dict(name="PE dovetail allowed", ref=[REF180],
+         pairs=[(REF180[30:62], _rc(REF180[10:42]))], dovetail=True),
+    dict(name="PE -X exact boundary", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], maxins=100),
+    dict(name="PE -X one too small", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], maxins=99),
+    dict(name="PE -I exact boundary", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], minins=100),
+    dict(name="PE -I one too big", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], minins=101),
+    dict(name="PE RF wrong order discordant", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], orient="rf"),
+    dict(name="PE FF both same strand", ref=[REF180],
+         pairs=[(REF180[0:32], REF180[60:92])], orient="ff"),
+    dict(name="PE FF wrong strand", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[60:92]))], orient="ff"),
+    dict(name="PE no-mixed half-aligned", ref=[REF180],
+         pairs=[(REF180[0:32], "CACACACACACACACACACACACACACACACA")],
+         no_mixed=True),
+    dict(name="PE no-discordant", ref=[REF180 + "N" * 20 + REF180[::-1]],
+         pairs=[(REF180[0:32], REF180[60:92])], no_discordant=True),
+    dict(name="PE mates swapped discordant", ref=[REF180],
+         pairs=[(_rc(REF180[68:100]), REF180[0:32])]),
+    # --- local-mode corners ---
+    dict(name="local YS score pair", ref=[REF180],
+         pairs=[("CCCC" + REF180[0:28], _rc(REF180[68:100]))], local=True),
+    dict(name="local mismatch no clip", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], local=True),
+    dict(name="local clip dominates mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCTT"], local=True),
+    dict(name="local short high-quality", ref=[LAMBDA60],
+         reads=["CGCTATTTATGAAAATTTTC"], local=True),
+    # --- trimming corners ---
+    dict(name="trim5+trim3 together", ref=[LAMBDA60],
+         reads=["ACGT" + R26 + "TGCA"], trim5=4, trim3=4),
+    dict(name="trim makes read tiny", ref=[LAMBDA60],
+         reads=[R26], trim5=10, trim3=10),
+    # --- scoring corners ---
+    dict(name="--rdg expensive blocks gap", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTGAAAATTTTCCGGTTTAAGGC"], rdg=(20, 10)),
+    dict(name="--rfg expensive blocks ins", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTAAAATGAAAATTTTCCGGTTTAAGGC"], rfg=(20, 10)),
+    dict(name="--mp asymmetric 5,1", ref=[LAMBDA60],
+         reads=[("TTTCGCTATTTCTGAAAATTTTCCGG", "5" * 26)], mp=(5, 1)),
+    dict(name="score-min generous", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGCAAATTTTCAGG"],
+         score_min=SimpleFunc.parse("L,0,-1.2")),
+    dict(name="score-min constant", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"],
+         score_min=SimpleFunc.parse("C,-20,0")),
+    # --- V3 MAPQ (--mapq-v 3, unique.h:96) ---
+    dict(name="mapq-v3 unique", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCGG"], mapq_v=3),
+    dict(name="mapq-v3 with second-best", ref=[REF2DIFF], reads=[SEG],
+         mapq_v=3),
+    dict(name="mapq-v3 mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], mapq_v=3),
+]
+
+
 FIELDS = (0, 1, 2, 3, 4, 5, 6, 7, 8)   # qname..tlen
 
 
@@ -137,6 +281,26 @@ def _ref_align(case, tmp):
         args.append("--" + case["orient"])
     if case.get("minins"):
         args += ["-I", str(case["minins"])]
+    if case.get("maxins"):
+        args += ["-X", str(case["maxins"])]
+    if case.get("khits"):
+        args += ["-k", str(case["khits"])]
+    if case.get("mhits"):
+        args += ["-M", str(case["mhits"])]
+    if case.get("mapq_v"):
+        args += ["--mapq-v", str(case["mapq_v"])]
+    if case.get("all_hits"):
+        args.append("-a")
+    if case.get("dovetail"):
+        args.append("--dovetail")
+    if case.get("no_contain"):
+        args.append("--no-contain")
+    if case.get("no_overlap"):
+        args.append("--no-overlap")
+    if case.get("no_mixed"):
+        args.append("--no-mixed")
+    if case.get("no_discordant"):
+        args.append("--no-discordant")
     if case.get("mp"):
         args += ["--mp", f"{case['mp'][0]},{case['mp'][1]}"]
     if case.get("rdg"):
@@ -180,9 +344,10 @@ def _ref_align(case, tmp):
             continue
         t = line.split("\t")
         opts = dict((x.split(":", 2)[0], x.split(":", 2)[2]) for x in t[11:])
-        out.append((t[0], int(t[1]), t[2], int(t[3]), t[5],
+        out.append((t[0], int(t[1]), t[2], int(t[3]), int(t[4]), t[5],
                     t[6], int(t[7]), int(t[8]),
-                    opts.get("AS"), opts.get("MD"), opts.get("YT")))
+                    opts.get("AS"), opts.get("XS"), opts.get("MD"),
+                    opts.get("YT")))
     return sorted(out)
 
 
@@ -191,9 +356,22 @@ def _our_align(case):
             for i, s in enumerate(case["ref"])]
     data = build_index_from_refs(refs)
     kw = {}
-    for k in ("minins", "ignore_quals"):
+    for k in ("minins", "maxins", "ignore_quals", "khits", "all_hits",
+              "no_mixed", "no_discordant"):
         if case.get(k):
             kw[k] = case[k]
+    if case.get("khits") or case.get("all_hits"):
+        kw["mhits"] = 0
+    if case.get("mhits"):
+        kw["mhits"] = case["mhits"]
+    if case.get("mapq_v"):
+        kw["mapq_v"] = case["mapq_v"]
+    if case.get("dovetail"):
+        kw["dovetail_ok"] = True
+    if case.get("no_contain"):
+        kw["contain_ok"] = False
+    if case.get("no_overlap"):
+        kw["olap_ok"] = False
     if case.get("orient"):
         kw["mate_fw_rc"] = case["orient"]
     if case.get("mp"):
@@ -227,9 +405,10 @@ def _our_align(case):
              for i, r in enumerate(case["reads"])])
     for r in recs:
         opts = dict((t, str(v)) for t, _ty, v in r.opts)
-        out.append((r.qname, r.flag, r.rname, r.pos, r.cigar,
+        out.append((r.qname, r.flag, r.rname, r.pos, r.mapq, r.cigar,
                     r.rnext, r.pnext, r.tlen,
-                    opts.get("AS"), opts.get("MD"), opts.get("YT")))
+                    opts.get("AS"), opts.get("XS"), opts.get("MD"),
+                    opts.get("YT")))
     return sorted(out)
 
 
