@@ -399,8 +399,20 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
         ~(c_half & (mm_ug > 1))
     c_end = astart + res.lane                                     # end pos
 
+    # per-read seed-hit demand (reference SeedResults::averageHitsPerSeed
+    # numerator/denominator, bt2_search.cpp:4146 seed-boost gate): summed
+    # SA widths + nonzero count of the instantiated-seed ranges (fw + rc
+    # rows folded per read), BEFORE the slot budget caps anything
+    seed_w_all = jnp.maximum(seed_bot - seed_top, 0).astype(jnp.int32)
+    selt2 = jnp.sum(seed_w_all, axis=1, dtype=jnp.int32)
+    snz2 = jnp.sum((seed_w_all > 0).astype(jnp.int32), axis=1,
+                   dtype=jnp.int32)
+    seed_elts = selt2[:B] + selt2[B:]
+    seed_nz = snz2[:B] + snz2[B:]
+
     return dict(
         B=B, Lmax=Lmax, W=W, sweep=sweep, sweep_bot=sweep_bot,
+        seed_elts=seed_elts, seed_nz=seed_nz,
         slot_valid=slot_valid, slot_or=slot_or, slot_exact=slot_exact,
         slot_half=slot_half, slot_rangej=slot_rangej,
         slot_rwidth=slot_rwidth, half_only=half_only,
@@ -509,7 +521,8 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     Bse = ee_w2.shape[0] // 2
     ee_block = jnp.concatenate([
         ee_lo[:Bse], ee_hi[:Bse], ee_w2[:Bse].astype(jnp.int32),
-        ee_lo[Bse:], ee_hi[Bse:], ee_w2[Bse:].astype(jnp.int32)])
+        ee_lo[Bse:], ee_hi[Bse:], ee_w2[Bse:].astype(jnp.int32),
+        cx["seed_elts"], cx["seed_nz"]])
 
     meta = jnp.concatenate([
         r_score.T.reshape(-1), r_valid.T.reshape(-1).astype(jnp.int32),

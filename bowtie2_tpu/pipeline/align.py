@@ -1068,6 +1068,149 @@ class UnpairedAligner(BatchAligner):
             fb.records, fb.lens, fb.filtered, B,
             top_fw, ee[2], top_rc, ee[5])
 
+    def _mm1_replay_overrides(self, fb: "FusedBatch", meta: np.ndarray,
+                              ch):
+        """Fused-path wrapper for the 1-mismatch maxed-multimap replay."""
+        pol = self.pol
+        if pol.local or pol.all_hits:
+            return {}
+        from bowtie2_tpu.ops.fused import CHOSEN_FIELDS
+        (ch_ok, ch_or, ch_rid, ch_roff, ch_rdstart, ch_rdend, ch_nmm,
+         ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
+        kk, kk_bt, Bp, B = fb.kk, fb.kk_bt, fb.Bp, fb.B
+        Bc = Bp * kk_bt
+        base = 2 * kk * Bp + CHOSEN_FIELDS * Bc + 1
+        ee = meta[base:base + 6 * Bp].reshape(6, Bp)
+        ee_tot = ee[2].astype(np.int64) + ee[5]
+        lens = fb.lens
+        cand = (ee_tot == 0) & ~fb.filtered & (np.arange(Bp) < B)
+        cand &= (ch_ok[:Bp] != 0) & (ch_nmm[:Bp] == 1) & \
+            (ch_ngc[:Bp] == 0) & (ch_nrefn[:Bp] == 0) & \
+            (ch_rdstart[:Bp] == 0) & (ch_rdend[:Bp] == lens)
+        entries = [(int(ri), int(ch_rid[ri]), int(ch_roff[ri]),
+                    int(ch_or[ri]), int(ch_score[ri]))
+                   for ri in np.nonzero(cand)[0]]
+        return self._mm1_replay_core(entries, fb)
+
+    # Gate for the 1mm replay below: the EE-layer trajectory model does
+    # NOT validate against the oracle for this class (tandem-corpus fit
+    # search found no consistent draw count — the reference's 1mm-phase
+    # trajectory has structure the current model misses). Keep the
+    # machinery but disabled until a fitting session nails it; canonical
+    # selection is no worse for parity than a wrong deterministic model.
+    MM1_REPLAY_ENABLED = False
+
+    def _mm1_replay_core(self, entries, batch):
+        """RNG-parity selection for 1-mismatch MAXED multimap reads.
+
+        Reads with NO exact hits whose best alignment is a pure
+        full-length 1-mismatch hit and whose corrected-read SA range hits
+        the -M cap stop INSIDE the reference's 1mm phase — a
+        deterministic trajectory: no EE order draw (tot==0), sort1mmEe
+        with one entry draws nothing, then Random1toN row resolution
+        (seen-list mode for wide ranges) + the selection shuffle. The
+        corrected pattern (= the reported alignment's reference window)
+        is recovered host-side and exact-searched to obtain the
+        reference's own SA range and row order.
+
+        entries: [(ri, rid0, roff0, orient, score)]; batch provides
+        .records/.lens/.fw/.rc/.Lmax. Returns the overrides dict
+        {ri: (recs, maxed, cnt, template)}."""
+        pol = self.pol
+        if not entries or not self.MM1_REPLAY_ENABLED:
+            return {}
+        cap = pol.khits if pol.mhits == 0 else pol.mhits + 1
+        lens = batch.lens
+        Lmax = batch.Lmax
+        rw = self.data.ref_words
+        rn = self.data.refn_words
+        pats = np.full((len(entries), Lmax), 4, np.int32)
+        keep = np.ones(len(entries), bool)
+        plens = np.zeros(len(entries), np.int32)
+        for t, (ri, rid0, roff0, ori, _sc) in enumerate(entries):
+            L = int(lens[ri])
+            g0 = int(self.data.ref_cum[rid0]) + roff0
+            gp = np.arange(g0, g0 + L)
+            codes = (rw[gp >> 4] >> (2 * (gp & 15))) & 3
+            if ((rn[gp >> 5] >> (gp & 31)) & 1).any():
+                keep[t] = False
+                continue
+            pats[t, :L] = codes
+            plens[t] = L
+        if not keep.any():
+            return {}
+        jsw = fm.exact_sweep(self.idx.fw,
+                             self._put(np.ascontiguousarray(pats)),
+                             self._put(plens))
+        top = np.asarray(jsw.top).astype(np.int64)
+        bot = np.asarray(jsw.bot).astype(np.int64)
+        ned = np.asarray(jsw.nedit)
+        w = np.where(ned == 0, bot - top, 0)
+        from bowtie2_tpu.pipeline.replay import EE_MAXELT, replay_ee_read
+        from bowtie2_tpu.pipeline.rng import gen_rand_seed
+        keep &= (w >= cap) & (w <= EE_MAXELT)
+        if not keep.any():
+            return {}
+        rows = []
+        spans = []
+        kidx = np.nonzero(keep)[0]
+        for t in kidx:
+            spans.append(len(rows))
+            rows.extend(range(int(top[t]), int(top[t] + w[t])))
+        NR = _pow2_at_least(len(rows), lo=64)
+        rows_pad = np.zeros(NR, dtype=self._row_dtype)
+        rows_pad[:len(rows)] = rows
+        jpos = np.asarray(fm.sa_resolve(
+            self.idx.fw, self._put(rows_pad),
+            period=1 << self.data.off_rate))[:len(rows)].astype(np.int64)
+        seg = np.searchsorted(self.data.seg_joined_start, jpos,
+                              side="right") - 1
+        gpos = (self.data.seg_global_start[seg]
+                + (jpos - self.data.seg_joined_start[seg]))
+        rid_all = np.searchsorted(self.data.ref_cum, gpos,
+                                  side="right") - 1
+        roff_all = gpos - self.data.ref_cum[rid_all]
+        overrides = {}
+        for s0, t in zip(spans, kidx):
+            ri, rid0, roff0, ori, score = entries[t]
+            wt = int(w[t])
+            L = int(lens[ri])
+            ok = jpos[s0:s0 + wt] + L <= \
+                self._seg_end_joined[seg[s0:s0 + wt]]
+            rec = batch.records[ri]
+            seed = gen_rand_seed(rec.seq, rec.qual + 33, rec.name)
+            res = replay_ee_read(int(seed), wt if ori == 0 else 0,
+                                 0 if ori == 0 else wt,
+                                 ok if ori == 0 else ok[:0],
+                                 ok[:0] if ori == 0 else ok,
+                                 pol.khits, pol.mhits, pol.all_hits,
+                                 order_draw=False)
+            if res is None:
+                continue
+            acc, perm, maxed = res
+            if not maxed and pol.mhits > 0:
+                continue       # phase did not terminate the read
+            oriented = batch.fw[ri, :L] if ori == 0 else batch.rc[ri, :L]
+            mmp = np.nonzero(pats[t, :L] != oriented)[0]
+            if mmp.size != 1:
+                continue       # not a clean single-substitution template
+            mp = int(mmp[0])
+            refb = "ACGT"[int(pats[t, mp])]
+            md = f"{mp}{refb}{L - 1 - mp}"
+            if pol.xeq:
+                cig = (f"{mp}=" if mp else "") + "1X" + \
+                    (f"{L - 1 - mp}=" if mp < L - 1 else "")
+            else:
+                cig = f"{L}M"
+            template = dict(as_=score, xm=1, md=md, cigar=cig)
+            recs = []
+            for j in perm:
+                _o, elt = acc[j]
+                k = s0 + elt
+                recs.append((int(rid_all[k]), int(roff_all[k]), ori))
+            overrides[ri] = (recs, maxed, len(acc), template)
+        return overrides
+
     def _replay_from_ranges(self, records, lens, filtered, B,
                             top_fw, w_fw, top_rc, w_rc):
         """Shared replay core over exact-sweep ranges (fused + host)."""
@@ -1118,7 +1261,7 @@ class UnpairedAligner(BatchAligner):
                 ori, elt = acc[j]
                 k = s0 + (elt if ori == 0 else wf + elt)
                 recs.append((int(rid_all[k]), int(roff_all[k]), ori))
-            overrides[int(ri)] = (recs, maxed, len(acc))
+            overrides[int(ri)] = (recs, maxed, len(acc), None)
         return overrides
 
     def submit(self, records: Sequence[SeqRecord]) -> Optional[FusedBatch]:
@@ -1209,6 +1352,8 @@ class UnpairedAligner(BatchAligner):
          ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
         ovr = self._ee_replay_overrides(fb, meta)
         n_dropped = int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc])
+        if n_dropped == 0:
+            ovr.update(self._mm1_replay_overrides(fb, meta, ch))
         if n_dropped > 0:
             # DP budget overflow: rerun this batch on the uncapped
             # phase-by-phase path (rare; keeps output identical)
@@ -1259,11 +1404,12 @@ class UnpairedAligner(BatchAligner):
                 out.append(self._unaligned(rec, self.YF_STR[int(fb.yf[ri])]))
                 continue
             if ri in ovr:
-                recs_o, _maxed_o, _cnt_o = ovr[ri]
+                recs_o, _maxed_o, _cnt_o, _tp_o = ovr[ri]
                 out.extend(self._synth_replay_group(
                     rec, recs_o, _cnt_o, L, int(fb.minsc[ri]),
                     lambda o, _ri=ri, _L=L: (fb.fw[_ri, :_L], fb.qu[_ri, :_L])
-                    if o == 0 else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L])))
+                    if o == 0 else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L]),
+                    template=_tp_o))
                 st.al_multi += 1
                 continue
             nr = int(n_rank[ri])
@@ -1362,6 +1508,8 @@ class UnpairedAligner(BatchAligner):
         (ch_ok, ch_or, ch_rid, ch_roff, ch_rdstart, ch_rdend, ch_nmm,
          ch_ngo, ch_ngc, ch_nrefn, ch_sccheck, ch_score) = ch
         ovr = self._ee_replay_overrides(fb, meta)
+        if int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc]) == 0:
+            ovr.update(self._mm1_replay_overrides(fb, meta, ch))
         if int(meta[2 * kk * Bp + CHOSEN_FIELDS * Bc]) > 0:
             out = self._align_batch_host(fb.records)   # rare overflow
             groups, t = [], 0
@@ -1474,14 +1622,15 @@ class UnpairedAligner(BatchAligner):
             groups[ri_un[t]].append(
                 (int(flag[nal + t]),
                  fb.records[ri_un[t]].name.encode() + tails[nal + t]))
-        for ri_o, (recs_o, _maxed_o, _cnt_o) in ovr.items():
+        for ri_o, (recs_o, _maxed_o, _cnt_o, _tp_o) in ovr.items():
             L_o = int(fb.lens[ri_o])
             rec_o = fb.records[ri_o]
             for r in self._synth_replay_group(
                     rec_o, recs_o, _cnt_o, L_o, int(fb.minsc[ri_o]),
                     lambda o, _ri=ri_o, _L=L_o:
                     (fb.fw[_ri, :_L], fb.qu[_ri, :_L]) if o == 0
-                    else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L])):
+                    else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L]),
+                    template=_tp_o):
                 groups[ri_o].append((r.flag, r.line().encode() + suffix))
 
         st = AlignStats()
@@ -1498,7 +1647,8 @@ class UnpairedAligner(BatchAligner):
     _names_tab = None
 
     def _synth_replay_group(self, rec: SeqRecord, recs, cnt: int, L: int,
-                            minsc_ri: int, oriented) -> List[SamAlignment]:
+                            minsc_ri: int, oriented,
+                            template: dict = None) -> List[SamAlignment]:
         """Build the full SAM record group for an RNG-replayed exact-
         multimap read. All alignments are perfect end-to-end matches, so
         the records are clones differing only in position/orientation —
@@ -1514,7 +1664,10 @@ class UnpairedAligner(BatchAligner):
         # second-best was ever seen → no XS, MAPQ 255 in k-mode /
         # unique-value otherwise; unique.h:202 oracle-verified).
         has_sec = cnt > 1
-        mq0 = self._mapq(0, 0 if has_sec else None, 0, minsc_ri)
+        tp = template or dict(as_=0, xm=0, md=str(L),
+                              cigar=f"{L}{'=' if pol.xeq else 'M'}")
+        mq0 = self._mapq(tp["as_"], tp["as_"] if has_sec else None, 0,
+                         minsc_ri)
         out = []
         for j, (rid_, roff_, ori) in enumerate(recs):
             codes, quals = oriented(ori)
@@ -1523,16 +1676,17 @@ class UnpairedAligner(BatchAligner):
                 mq = mq0 if (j == 0 and has_sec) else 255
             else:
                 mq = mq0
-            opts = [("AS", "i", 0)]
+            opts = [("AS", "i", tp["as_"])]
             if has_sec:
-                opts.append(("XS", "i", 0))
+                opts.append(("XS", "i", tp["as_"]))
             opts += [("XN", "i", 0),
-                     ("XM", "i", 0), ("XO", "i", 0), ("XG", "i", 0),
-                     ("NM", "i", 0), ("MD", "Z", str(L)), ("YT", "Z", "UU")]
+                     ("XM", "i", tp["xm"]), ("XO", "i", 0), ("XG", "i", 0),
+                     ("NM", "i", tp["xm"]), ("MD", "Z", tp["md"]),
+                     ("YT", "Z", "UU")]
             out.append(SamAlignment(
                 qname=rec.name, flag=flag,
                 rname=self.data.ref_names[rid_], pos=roff_ + 1, mapq=mq,
-                cigar=f"{L}{'=' if pol.xeq else 'M'}",
+                cigar=tp["cigar"],
                 seq=decode_seq(codes.astype(np.uint8)).decode(),
                 qual=qual_string(quals), opts=opts))
         return out
@@ -1617,12 +1771,41 @@ class UnpairedAligner(BatchAligner):
             else:
                 st.al_one += 1
         rd_start[len(records)] = len(out)
+        # 1mm maxed-multimap replay from the emitted rank-0 records
+        if not pol.local and not pol.all_hits and cs.sw_top is not None:
+            ee_tot2 = np.where((cs.sw_ned == 0) & (cs.sw_bot > cs.sw_top),
+                               cs.sw_bot - cs.sw_top, 0)
+            ee_tot_h = ee_tot2[:B] + ee_tot2[B:]
+            name2id = {n: i for i, n in enumerate(self.data.ref_names)}
+            entries = []
+            for ri in range(B):
+                if ri in ovr or cs.filtered[ri] or ee_tot_h[ri] != 0:
+                    continue
+                r0 = out[int(rd_start[ri])]
+                if r0.flag & FLAG_UNMAPPED:
+                    continue
+                op = {t: v for t, _ty, v in r0.opts}
+                L0 = int(cs.lens[ri])
+                if not (op.get("XM") == 1 and op.get("XO") == 0
+                        and op.get("XG") == 0 and op.get("XN") == 0
+                        and r0.cigar == f"{L0}M"):
+                    continue
+                entries.append((ri, name2id[r0.rname], r0.pos - 1,
+                                1 if r0.flag & FLAG_REVERSE else 0,
+                                int(op.get("AS", 0))))
+            if entries:
+                import types as _types
+                shim = _types.SimpleNamespace(
+                    records=records, lens=cs.lens, fw=cs.fw, rc=cs.rc,
+                    Lmax=cs.Lmax)
+                ovr.update(self._mm1_replay_core(entries, shim))
         for ri in sorted(ovr, reverse=True):
-            recs_o, _maxed_o, _cnt_o = ovr[ri]
+            recs_o, _maxed_o, _cnt_o, _tp_o = ovr[ri]
             L_o = int(cs.lens[ri])
             grp = self._synth_replay_group(
                 records[ri], recs_o, _cnt_o, L_o, int(cs.minsc[ri]),
-                lambda o, _ri=ri: self._oriented(cs, _ri, o))
+                lambda o, _ri=ri: self._oriented(cs, _ri, o),
+                template=_tp_o)
             out[int(rd_start[ri]):int(rd_start[ri + 1])] = grp
         self._merge_stats(st)
         return out

@@ -35,7 +35,8 @@ EE_MAXELT = 400        # maxIters: EE-phase element cap (bt2_search.cpp:464)
 
 def replay_ee_read(seed: int, w_fw: int, w_rc: int,
                    ok_fw: np.ndarray, ok_rc: np.ndarray,
-                   khits: int, mhits: int, all_hits: bool
+                   khits: int, mhits: int, all_hits: bool,
+                   order_draw: bool = True
                    ) -> Optional[Tuple[List[Tuple[int, int]], List[int],
                                        bool]]:
     """Replay one read's EE trajectory + selection.
@@ -50,8 +51,11 @@ def replay_ee_read(seed: int, w_fw: int, w_rc: int,
     if tot < 2 or tot > EE_MAXELT:
         return None
     rng = RefRng(seed)
-    rn = rng.next_u32() % tot
-    fw_first = rn < w_fw
+    if order_draw:            # skipped when the EE phase had no hits
+        rn = rng.next_u32() % tot
+        fw_first = rn < w_fw
+    else:
+        fw_first = True
     mhits_set = mhits > 0 and not all_hits
     if all_hits:
         cap = 1 << 62
@@ -68,7 +72,10 @@ def replay_ee_read(seed: int, w_fw: int, w_rc: int,
         ok = ok_fw if ori == 0 else ok_rc
         if w == 0:
             continue
-        r1n = Random1toN(w)
+        # withoutReplacement = the -a flag (rands_.init(width, all)); for
+        # widths >= 128 without -a, Random1toN runs in seen-list mode with
+        # DIFFERENT (variable) draw consumption
+        r1n = Random1toN(w, without_replacement=all_hits)
         for _ in range(w):
             elt = r1n.next(rng)
             if ok[elt]:

@@ -197,34 +197,65 @@ def select_alns_to_report(sz: int, num: int, rnd: RefRng
 
 
 class Random1toN:
-    """random_util.h:32 draw-accounting model (swap-list mode).
+    """random_util.h:32 draw-accounting model, BOTH modes.
 
-    The alignment path always constructs with withoutReplacement=True
-    (`init(width, all)`), so the seen-list mode never engages: n == 1
-    consumes nothing, otherwise every next() consumes one nextU32."""
+    Swap-list mode (width < 128 or withoutReplacement, i.e. -a): n == 1
+    consumes nothing, otherwise every next() consumes one nextU32.
+    Seen-list mode (width >= SWAPLIST_THRESH=128 without -a): rejection
+    sampling (variable draws!) until the seen list reaches
+    max(16, (size_t)(0.10f * n)) entries, then a one-time conversion to a
+    swap-list over the remaining elements."""
 
-    def __init__(self, n: int = 0):
+    SWAPLIST_THRESH = 128
+    CONVERSION_THRESH = 16
+    CONVERSION_FRAC = float(np.float32(0.10))
+
+    def __init__(self, n: int = 0, without_replacement: bool = True):
+        self.init(n, without_replacement)
+
+    def init(self, n: int, without_replacement: bool = True) -> None:
         self.n = n
         self.cur = 0
         self.lst: List[int] = []
-
-    def init(self, n: int) -> None:
-        self.n = n
-        self.cur = 0
-        self.lst = []
+        self.seen: List[int] = []
+        self.swaplist = n < self.SWAPLIST_THRESH or without_replacement
+        self.converted = False
+        self.thresh = max(self.CONVERSION_THRESH,
+                          int(self.CONVERSION_FRAC * n))
 
     def done(self) -> bool:
         return self.n > 0 and self.cur >= self.n
 
     def next(self, rnd: RefRng) -> int:
-        if self.cur == 0 and self.n == 1:
-            self.cur = 1
-            return 0
-        if not self.lst:
-            self.lst = list(range(self.n))
-        r = self.cur + (rnd.next_u32() % (self.n - self.cur))
-        if r != self.cur:
-            self.lst[self.cur], self.lst[r] = self.lst[r], self.lst[self.cur]
-        ret = self.lst[self.cur]
+        if self.cur == 0 and not self.converted:
+            if self.n == 1:
+                self.cur = 1
+                return 0
+            if self.swaplist and not self.lst:
+                self.lst = list(range(self.n))
+        if self.swaplist:
+            r = self.cur + (rnd.next_u32() % (self.n - self.cur))
+            if r != self.cur:
+                self.lst[self.cur], self.lst[r] = (self.lst[r],
+                                                   self.lst[self.cur])
+            ret = self.lst[self.cur]
+            self.cur += 1
+            return ret
+        # seen-list mode: rejection-sample an unseen element
+        while True:
+            rn = rnd.next_u32() % self.n
+            if rn not in self.seen:
+                break
+        self.seen.append(rn)
         self.cur += 1
-        return ret
+        if len(self.seen) >= self.thresh and self.cur < self.n:
+            # convert: swap-list over the not-yet-seen elements in order
+            seen_sorted = sorted(self.seen)
+            in_seen = set(seen_sorted)
+            self.lst = [j for j in range(self.n) if j not in in_seen]
+            self.seen = []
+            self.cur = 0
+            self.n = len(self.lst)
+            self.converted = True
+            self.swaplist = True
+        return rn

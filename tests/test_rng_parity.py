@@ -102,3 +102,42 @@ def test_exact_multimap_collect_raw_matches_collect(tmp_path):
     raw = [line for grp in ua2.collect_raw(ua2.submit(reads))
            for _, line in grp]
     assert obj == raw
+
+
+def test_tandem_maxed_seen_list_mode(tmp_path):
+    """Wide exact ranges (w >= 128) use Random1toN's seen-list rejection
+    mode with different draw consumption; error-free tandem-repeat reads
+    max out the -M cap (51 alignments) and must still match the oracle
+    byte for byte."""
+    rng = np.random.default_rng(5)
+    G = 40000
+    g = rng.integers(0, 4, G, dtype=np.int8)
+    unit = rng.integers(0, 4, 50, dtype=np.int8)
+    tr = np.tile(unit, 160)            # 8000bp tandem: ~158 copies/frame
+    g[10000:10000 + tr.size] = tr
+    fa = tmp_path / "tr.fa"
+    with open(fa, "w") as f:
+        f.write(">tr\n")
+        s = ALPHA[g].tobytes().decode()
+        for i in range(0, G, 70):
+            f.write(s[i:i + 70] + "\n")
+    fq = tmp_path / "tr.fq"
+    reads = []
+    with open(fq, "w") as f:
+        for i in range(40):
+            p = int(rng.integers(10000, 10000 + tr.size - 100))
+            codes = g[p:p + 100].copy()
+            if i % 2:
+                codes = (3 - codes)[::-1]
+            q = rng.integers(25, 41, 100).astype(np.uint8)
+            f.write("@t%d\n%s\n+\n%s\n" % (
+                i, ALPHA[codes].tobytes().decode(),
+                (q + 33).tobytes().decode()))
+            reads.append(SeqRecord(name=f"t{i}",
+                                   seq=codes.astype(np.uint8).copy(),
+                                   qual=q))
+    want = _oracle(str(fa), str(fq), tmp_path)
+    data = build_index(str(fa))
+    ua = UnpairedAligner(data, make_policy("sensitive"))
+    got = [r.line() for r in ua.collect(ua.submit(reads))]
+    assert got == want
