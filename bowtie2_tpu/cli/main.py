@@ -106,6 +106,13 @@ def _build_align_parser():
     ap.add_argument("-a", "--all", dest="all_hits", action="store_true")
     ap.add_argument("-M", dest="mhits", type=int, default=None)
     ap.add_argument("--mapq-v", dest="mapq_v", type=int, default=None)
+    ap.add_argument("--log-dp", dest="log_dp", default=None,
+                    help="log one descriptor per seed-extend DP problem "
+                         "(analog of the reference's SwAligner dpLog)")
+    ap.add_argument("--sam-opt-config", dest="sam_opt_config", default=None,
+                    help="comma-separated opt-field toggles, '-' prefix "
+                         "disables (e.g. '-md,-xs'; sam.h "
+                         "parseSamPrintFlags)")
     ap.add_argument("-D", dest="fail_streak", type=int, default=None)
     ap.add_argument("-R", dest="seed_rounds", type=int, default=None)
     # paired-end
@@ -253,6 +260,8 @@ def cmd_align(argv):
     if args.batch is None:
         args.batch = 2048 if paired else 8192
     aligner = (PairedAligner if paired else UnpairedAligner)(data, pol)
+    if args.log_dp:
+        aligner.dp_log = open(args.log_dp, "w")
     # binary output: the unpaired path emits finished line bytes from the
     # native builder; object records go through a thin text adapter
     bout = open(args.out, "wb") if args.out else sys.stdout.buffer
@@ -265,7 +274,21 @@ def cmd_align(argv):
                        prog_args=" ".join(["bt2x align"] + argv),
                        no_head=args.no_head, no_sq=args.no_sq,
                        rg_id=args.rg_id, rg_fields=args.rg)
-    raw_mode = not paired
+    # --sam-opt-config (sam.h:160 parseSamPrintFlags): comma tokens,
+    # leading '-' disables a field. Filtering happens on record objects,
+    # so configured runs route through the object emit path.
+    sam_cfg = None
+    if args.sam_opt_config:
+        sam_cfg = {}
+        for tok in args.sam_opt_config.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if tok[0] == "-":
+                sam_cfg[tok[1:].lower()] = False
+            else:
+                sam_cfg[tok.lower()] = True
+    raw_mode = not paired and sam_cfg is None
     rg_suffix = f"\tRG:Z:{args.rg_id}".encode() if args.rg_id else b""
 
     if not args.unpaired and not paired and not args.bam:
@@ -394,10 +417,23 @@ def cmd_align(argv):
             chunk, h = pend.popleft()
             if raw_mode:
                 outs = aligner.collect_raw(h, rg_suffix)
-            else:
+            elif paired:
                 outs = aligner.collect(h)
                 # group per pair (secondaries not emitted in PE mode)
                 outs = [outs[2 * t:2 * t + 2] for t in range(len(chunk))]
+            else:
+                # SE object path (e.g. --sam-opt-config): group a primary
+                # record plus its following secondaries per read
+                flat = aligner.collect(h)
+                outs = []
+                t = 0
+                for _ in range(len(chunk)):
+                    grp = [flat[t]]
+                    t += 1
+                    while t < len(flat) and (flat[t].flag & 0x100):
+                        grp.append(flat[t])
+                        t += 1
+                    outs.append(grp)
             if met_sink:
                 met_sink.maybe_report()
             for j, rec_out in zip(chunk, outs):
@@ -433,6 +469,9 @@ def cmd_align(argv):
                 for r in group:
                     if args.no_unal and (r.flag & FLAG_UNMAPPED):
                         continue
+                    if sam_cfg is not None:
+                        r.opts = [o for o in r.opts
+                                  if sam_cfg.get(o[0].lower(), True)]
                     writer.write(r)
                 conc = all((g.flag & 0x2) for g in group[:2])
                 if unc_f and not conc:

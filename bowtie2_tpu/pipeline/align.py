@@ -255,6 +255,12 @@ class BatchAligner:
             self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
         self.stats = AlignStats()
         self.metrics = Metrics()
+        # --log-dp sink (reference SwAligner dpLog, aligner_sw.cpp:61):
+        # one tab-separated descriptor per DP problem. Our analog logs
+        # (read, strand, refid, window_start, rect_cols, minsc, score) —
+        # the rect geometry fields differ from the reference's DPRect
+        # serialization but carry the same information.
+        self.dp_log = None
         self._stats_lock = threading.Lock()   # align_batch is thread-safe
         self._seg_end_joined = data.seg_joined_start + data.seg_len
         # device segment tables for the fused pipeline (replicated: tiny);
@@ -1322,7 +1328,12 @@ class UnpairedAligner(BatchAligner):
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
             period=1 << self.data.off_rate, T=T, kk=kk, kk_bt=kk_bt,
             NC=NC, n1=pol.seed_mms >= 1, no_1mm=getattr(pol, "no_1mm", False))
-        self.metrics.add(t_search=_time.time() - _t)
+        self.metrics.add(
+            t_search=_time.time() - _t, bases=int(lens[:B].sum()),
+            unpaired=B, unf_reads=int((~filtered[:B]).sum()),
+            unf_bases=int(lens[:B][~filtered[:B]].sum()),
+            ex_attempts=int(live.sum()), seed_searches=int(live.sum()),
+            dp_problems=NC, dp_cells=NC * Lmax * W, backtraces=Bp * kk_bt)
         return FusedBatch(records=records, B=B, Bp=Bp, Lmax=Lmax,
                           S=bt_steps(Lmax, W, pol.local), kk=kk, kk_bt=kk_bt,
                           lens=lens, fw=fw, qu=qu, rc=rc, qu_r=qu_r,
@@ -1593,6 +1604,29 @@ class UnpairedAligner(BatchAligner):
                                      int(r_score[1, ri]), per,
                                      int(fb.minsc[ri]))
 
+        try:
+            from bowtie2_tpu.ops.fused import CHOSEN_FIELDS as _CF
+            _base = 2 * kk * Bp + _CF * Bc + 1
+            _ee = meta[_base:_base + 8 * Bp].reshape(8, Bp)
+            _live = ~fb.filtered & (np.arange(Bp) < B)
+            _wf, _wr = _ee[2], _ee[5]
+            self.metrics.add(
+                ex_ranges=int(((_wf > 0) & _live).sum()
+                              + ((_wr > 0) & _live).sum()),
+                ex_rows=int(_wf[_live].sum() + _wr[_live].sum()),
+                ex_succ=int((((_wf + _wr) > 0) & _live).sum()),
+                seed_nrange=int(_ee[7][_live].sum()),
+                seed_nelt=int(_ee[6][_live].sum()),
+                mm1_attempts=int(_live.sum()), mm1_ranges=0)
+        except Exception:
+            pass
+        if self.dp_log is not None:
+            for t in range(nal):
+                ri = int(ri_al[t])
+                self.dp_log.write(
+                    f"{fb.records[ri].name}\t{'-' if orient[t] else '+'},"
+                    f"{int(ch_rid[cis[t]])},{int(ch_roff[cis[t]])},"
+                    f"{int(fb.minsc[ri])},{int(ch_score[cis[t]])}\n")
         if self._names_tab is None:
             self._names_tab = RefNameTable(self.data.ref_names)
         z = np.zeros(nal + nun, np.int32)
@@ -2362,6 +2396,7 @@ class PairedAligner(BatchAligner):
                 self.data.ref_cum,
                 np.array([int(LO[s[1], s[2]]) for s in rescue_specs]),
                 side="right") - 1
+            self.metrics.add(mate_dps=len(rescue_specs))
             rpool = self._run_dp(r_wlo, r_rid, r_read, r_or,
                                  fpb.jboth, fpb.jquals, fpb.lens,
                                  Gr, Lmax, len(rescue_specs),
