@@ -56,6 +56,8 @@ def _build_align_parser():
     ap.add_argument("--tab5", default=None)
     ap.add_argument("--tab6", default=None)
     ap.add_argument("-b", dest="bam", default=None)
+    ap.add_argument("--preserve-tags", action="store_true",
+                    help="keep input BAM aux fields on output records")
     ap.add_argument("--qseq", action="store_true")
     ap.add_argument("-S", dest="out", default=None)
     # input options
@@ -317,7 +319,8 @@ def cmd_align(argv):
                 yield from iter_fasta_continuous(pth, kF, iF)
         reader = _fc_many()
     elif args.bam:
-        reader = iter_bam(args.bam)
+        reader = iter_bam(args.bam,
+                          preserve_tags=args.preserve_tags)
     elif args.qseq and paired:
         reader = zip(iter_qseq_many(args.mate1, args.qc_filter),
                      iter_qseq_many(args.mate2, args.qc_filter))

@@ -25,6 +25,7 @@ class SeqRecord:
     seq: np.ndarray   # uint8 codes 0..4
     qual: np.ndarray  # uint8 phred scores (0..41+); 40s if FASTA
     qc_fail: bool = False  # upstream QC flag (qseq field 11 + --qc-filter)
+    tags: str = None       # --preserve-tags: input BAM aux fields as SAM text
 
 
 def _open_text(path: str):
@@ -242,7 +243,52 @@ for _i, _c in ((1, 0), (2, 1), (4, 2), (8, 3)):   # A C G T; others → N
     SEQ4BIT[_i] = _c
 
 
-def iter_bam(path: str) -> Iterator[SeqRecord]:
+def _bam_aux_to_sam(buf: bytes) -> str:
+    """Decode a BAM aux-field blob into SAM tag text ("\tXX:t:val...").
+
+    Reference --preserve-tags keeps the raw blob and re-emits it
+    (pat.cpp:1503, sam.cpp); SAM output needs the text form."""
+    import struct
+    out = []
+    off = 0
+    n = len(buf)
+    SZ = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+    FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i",
+           "I": "<I", "f": "<f"}
+    while off + 3 <= n:
+        tag = buf[off:off + 2].decode("ascii", "replace")
+        typ = chr(buf[off + 2])
+        off += 3
+        if typ == "A":
+            out.append(f"{tag}:A:{chr(buf[off])}")
+            off += 1
+        elif typ in SZ:
+            v = struct.unpack_from(FMT[typ], buf, off)[0]
+            off += SZ[typ]
+            if typ == "f":
+                out.append(f"{tag}:f:{v:g}")
+            else:
+                out.append(f"{tag}:i:{v}")
+        elif typ in ("Z", "H"):
+            end = buf.index(b"\x00", off)
+            out.append(f"{tag}:{typ}:{buf[off:end].decode('ascii', 'replace')}")
+            off = end + 1
+        elif typ == "B":
+            sub = chr(buf[off])
+            cnt = struct.unpack_from("<i", buf, off + 1)[0]
+            off += 5
+            vals = []
+            for _ in range(cnt):
+                v = struct.unpack_from(FMT[sub], buf, off)[0]
+                off += SZ[sub]
+                vals.append(f"{v:g}" if sub == "f" else str(v))
+            out.append(f"{tag}:B:{sub}," + ",".join(vals))
+        else:
+            break                      # unknown type: stop decoding
+    return "".join("\t" + t for t in out)
+
+
+def iter_bam(path: str, preserve_tags: bool = False) -> Iterator[SeqRecord]:
     """Read records from a BAM file (reference pat.h:813 BAM input).
 
     BGZF is a sequence of concatenated gzip members, which Python's gzip
@@ -285,8 +331,13 @@ def iter_bam(path: str) -> Iterator[SeqRecord]:
             if flag & 0x10:
                 codes = revcomp(codes)
                 qual = qual[::-1].copy()
+            tags = None
+            if preserve_tags:
+                aux_off = off + l_seq
+                tags = _bam_aux_to_sam(rec[aux_off:])
             yield SeqRecord(name=name, seq=codes,
-                            qual=np.clip(qual, 0, 62).astype(np.uint8))
+                            qual=np.clip(qual, 0, 62).astype(np.uint8),
+                            tags=tags)
 
 
 def iter_qseq(path: str, qual_offset: int = 64, _fh=None,

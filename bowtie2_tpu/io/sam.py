@@ -40,6 +40,7 @@ class SamAlignment:
     seq: str = "*"
     qual: str = "*"
     opts: List[Tuple[str, str, object]] = field(default_factory=list)
+    raw_tags: str = None       # --preserve-tags passthrough (SAM tag text)
 
     def line(self) -> str:
         core = [self.qname, str(self.flag), self.rname, str(self.pos),
@@ -47,7 +48,10 @@ class SamAlignment:
                 str(self.tlen), self.seq, self.qual]
         for tag, typ, val in self.opts:
             core.append(f"{tag}:{typ}:{val}")
-        return "\t".join(core)
+        out = "\t".join(core)
+        if self.raw_tags:
+            out += self.raw_tags
+        return out
 
 
 import numpy as np

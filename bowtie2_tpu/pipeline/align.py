@@ -684,7 +684,8 @@ class BatchAligner:
             pos=roff + 1, mapq=mapq, cigar=cigar_string(cigar_ops),
             rnext=rnext, pnext=pnext, tlen=tlen,
             seq=decode_seq(read_codes.astype(np.uint8)).decode(),
-            qual=qual_string(read_quals), opts=opts)
+            qual=qual_string(read_quals), opts=opts,
+            raw_tags=getattr(rec, "tags", None))
 
     def _unaligned(self, rec: SeqRecord, yf: Optional[str] = None,
                    yt: str = "UU", flag_extra: int = 0, rname: str = "*",
@@ -697,7 +698,8 @@ class BatchAligner:
             qname=rec.name, flag=FLAG_UNMAPPED | flag_extra, rname=rname,
             pos=pos, mapq=0, cigar="*", rnext=rnext, pnext=pnext,
             seq=decode_seq(rec.seq.astype(np.uint8)).decode(),
-            qual=qual_string(rec.qual), opts=opts)
+            qual=qual_string(rec.qual), opts=opts,
+            raw_tags=getattr(rec, "tags", None))
 
     def _oriented(self, cs: CandSet, ri: int, orient: int):
         L = int(cs.lens[ri])
@@ -1648,14 +1650,19 @@ class UnpairedAligner(BatchAligner):
 
         # group per read, aligned ranks ascending
         groups: List[List[Tuple[int, bytes]]] = [[] for _ in range(B)]
+        def _tg(rec):
+            tg = getattr(rec, "tags", None)
+            return tg.encode() if tg else b""
+
         for t in range(nal):
+            rec_t = fb.records[ri_al[t]]
             groups[ri_al[t]].append(
-                (int(flag[t]),
-                 fb.records[ri_al[t]].name.encode() + tails[t]))
+                (int(flag[t]), rec_t.name.encode() + tails[t] + _tg(rec_t)))
         for t in range(nun):
+            rec_t = fb.records[ri_un[t]]
             groups[ri_un[t]].append(
                 (int(flag[nal + t]),
-                 fb.records[ri_un[t]].name.encode() + tails[nal + t]))
+                 rec_t.name.encode() + tails[nal + t] + _tg(rec_t)))
         for ri_o, (recs_o, _maxed_o, _cnt_o, _tp_o) in ovr.items():
             L_o = int(fb.lens[ri_o])
             rec_o = fb.records[ri_o]

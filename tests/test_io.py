@@ -47,6 +47,31 @@ def test_bam_reader(tmp_path):
     assert recs[1].seq.tolist() == [0, 1, 2, 3, 0, 0, 0, 0]  # un-revcomped
 
 
+def test_bam_preserve_tags(tmp_path):
+    body = b"BAM\x01" + struct.pack("<i", 3) + b"@HD" + struct.pack("<i", 1)
+    body += struct.pack("<i", 4) + b"ref\x00" + struct.pack("<i", 1000)
+    aux = (b"RGZgrp1\x00"                     # RG:Z:grp1
+           + b"NMC\x05"                       # NM:C:5 -> NM:i:5
+           + b"XSs" + struct.pack("<h", -7)   # XS:s:-7 -> XS:i:-7
+           + b"BCBc" + struct.pack("<i", 3) + struct.pack("<3b", 1, -2, 3))
+    seq, qual, name = "ACGT", "IIII", "t"
+    enc = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}
+    sb = bytes([enc[seq[0]] << 4 | enc[seq[1]],
+                enc[seq[2]] << 4 | enc[seq[3]]])
+    d = struct.pack("<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0,
+                    4, len(seq), -1, -1, 0)
+    d += name.encode() + b"\x00" + sb
+    d += bytes(q - 33 for q in qual.encode())
+    d += aux
+    body += struct.pack("<i", len(d)) + d
+    p = tmp_path / "t.bam"
+    p.write_bytes(_bgzf(body) + _bgzf(b""))
+    (r,) = list(iter_bam(str(p), preserve_tags=True))
+    assert r.tags == "\tRG:Z:grp1\tNM:i:5\tXS:i:-7\tBC:B:c,1,-2,3"
+    (r2,) = list(iter_bam(str(p)))
+    assert r2.tags is None
+
+
 def test_qseq_reader(tmp_path):
     p = tmp_path / "t.qseq"
     p.write_bytes(b"M1\t42\t1\t1\t100\t200\t0\t1\tACG.T\tabcde\t1\n")
