@@ -227,6 +227,8 @@ class CandSet:
     cand_rwidth: np.ndarray = None   # SA width of the source range
     ee_elts: np.ndarray = None       # (2B,) exact end-to-end elements/orient
     inst0: np.ndarray = None         # (2B,) round-0 N-free instantiated seeds
+    seed_elts: np.ndarray = None     # (B,) summed seed SA widths (fw+rc)
+    seed_nz: np.ndarray = None       # (B,) nonzero seed ranges (fw+rc)
     sw_top: np.ndarray = None        # (2B,) exact-sweep SA tops (fw then rc)
     sw_bot: np.ndarray = None        # (2B,) bots (strand-suppression applied)
     sw_ned: np.ndarray = None        # (2B,) sweep edit lower bounds
@@ -340,7 +342,8 @@ class BatchAligner:
 
     # ---------------- phases 1-5a: search → scored candidates ----------------
     def _search_candidates(self, records: Sequence[SeqRecord],
-                           paired: bool = False) -> CandSet:
+                           paired: bool = False,
+                           nrounds: int = 1) -> CandSet:
         pol = self.pol
         B = len(records)
         fw, qu, rc, qu_r, lens = pad_reads(
@@ -382,7 +385,7 @@ class BatchAligner:
             okm = ~filtered
             ival_boost = okm & np.roll(okm, hb)
         seed_or, seed_off, seed_mlen, seed_tb_d, sshape, cs.inst0 = \
-            self._seed_search(fw, rc, lens, ival_boost)
+            self._seed_search(fw, rc, lens, ival_boost, nrounds=nrounds)
         half_off, half_mlen, half_tb_d = self._half_search(
             both, both_lens, cs.jboth)
         if pol.seed_mms >= 1:
@@ -399,6 +402,11 @@ class BatchAligner:
         st_bt = np.asarray(seed_tb_d)
         seed_top = st_bt[0, :sshape[0]].reshape(sshape[1], sshape[2])
         seed_bot = st_bt[1, :sshape[0]].reshape(sshape[1], sshape[2])
+        # per-read seed-hit demand for the --seed-boost gate
+        # (SeedResults::averageHitsPerSeed, bt2_search.cpp:4146)
+        sw_ = np.maximum(seed_bot - seed_top, 0)
+        cs.seed_elts = sw_[:B].sum(axis=1) + sw_[B:].sum(axis=1)
+        cs.seed_nz = (sw_[:B] > 0).sum(axis=1) + (sw_[B:] > 0).sum(axis=1)
         ht_bt = np.asarray(half_tb_d)
         half_top = ht_bt[0].reshape(2, -1).T
         half_bot = ht_bt[1].reshape(2, -1).T
@@ -789,7 +797,7 @@ class BatchAligner:
             - np.take_along_axis(cumn, o, axis=1)
         return (valid_all & (nwin == 0)).sum(axis=1)
 
-    def _seed_search(self, fw, rc, lens, ival_boost=None):
+    def _seed_search(self, fw, rc, lens, ival_boost=None, nrounds: int = 1):
         """Search instantiated seeds for both orientations (device).
 
         Seed windows are extracted ON DEVICE (reads are device-resident
@@ -799,7 +807,8 @@ class BatchAligner:
         pol = self.pol
         B, Lmax = fw.shape
         slen = pol.seed_len
-        offs_all, valid_all = self._seed_offsets(lens, ival_boost)
+        offs_all, valid_all = self._seed_offsets(lens, ival_boost,
+                                                 nrounds=nrounds)
         smax = offs_all.shape[1]
         both = np.concatenate([fw, rc], axis=0).astype(np.int32)
         top, bot = fm.seed_search_offsets(
@@ -1732,13 +1741,76 @@ class UnpairedAligner(BatchAligner):
                 qual=qual_string(quals), opts=opts))
         return out
 
-    def _align_batch_host(self, records: Sequence[SeqRecord]
-                          ) -> List[SamAlignment]:
+    def _se_effort_filter(self, cs: CandSet) -> None:
+        """SE -D fail-streak model (bt2_search.cpp:464-472, the unpaired
+        extendSeeds loop): an attempt that does not produce a NEW valid
+        alignment builds the streak; `-D` consecutive fails end the phase;
+        maxIters(400)/maxDp(300) are hard per-read caps. Mirrors
+        pe_effort.py's PE replay: phases (exact, 1mm/half, seed) each
+        reset the streak, ranges are visited width-ascending round-robin
+        with small-range bursts. Candidates the reference would never
+        have attempted are marked invalid in cs (cs.valid &= attempted).
+
+        The within-range visit order approximates the reference's
+        RowSampler random order with canonical SA order — exact only for
+        width-1 ranges (RowSampler RNG parity is the open layer-2 item),
+        so this models the reference's EFFORT envelope, not its exact
+        attempted set on wide ranges."""
+        pol = self.pol
+        if pol.all_hits or not cs.n_cand:
+            return
+        from bowtie2_tpu.pipeline.pe_effort import pe_streak_limit
+        from bowtie2_tpu.pipeline.pe_effort import attempt_order
+        limit = pe_streak_limit(pol.fail_streak, pol.khits, False)
+        MAX_ITERS, MAX_DP = 400, 300
+        by_read: Dict[int, List[int]] = {}
+        for k in range(cs.n_cand):
+            by_read.setdefault(int(cs.cand_read[k]), []).append(k)
+        drop: List[int] = []
+        for ri, ks in by_read.items():
+            # fast path: no phase can build a full streak
+            if len(ks) <= limit:
+                continue
+            exact = [k for k in ks if cs.cand_exact[k]]
+            halfp = [k for k in ks
+                     if cs.cand_half[k] and not cs.cand_exact[k]]
+            seedp = [k for k in ks
+                     if not cs.cand_exact[k] and not cs.cand_half[k]]
+            iters = 0
+            seen_ends = set()
+            hard_stop = False
+            for ks_p in (exact, halfp, seedp):
+                if hard_stop or not ks_p:
+                    continue
+                order = attempt_order(ks_p, cs.cand_rangej, cs.cand_rwidth)
+                streak = 0
+                for k in order:
+                    if iters >= min(MAX_ITERS, MAX_DP):
+                        hard_stop = True
+                    if hard_stop or streak >= limit:
+                        drop.append(k)
+                        continue
+                    iters += 1
+                    key = (int(cs.cand_or[k]), int(cs.end_pos[k]))
+                    if cs.valid[k] and key not in seen_ends:
+                        seen_ends.add(key)
+                        streak = 0
+                    else:
+                        streak += 1
+        if drop:
+            cs.valid[np.array(drop, np.int64)] = False
+
+    SEED_BOOST_THRESH = 300    # bt2_search.cpp:490 seedBoostThresh
+
+    def _align_batch_host(self, records: Sequence[SeqRecord],
+                          nrounds: int = 1,
+                          _merge: bool = True) -> List[SamAlignment]:
         if not records:
             return []
         pol = self.pol
         khits = 10**9 if pol.all_hits else pol.khits
-        cs = self._search_candidates(records)
+        cs = self._search_candidates(records, nrounds=nrounds)
+        self._se_effort_filter(cs)
         ranked = self._rank_per_read(cs)
         B = len(records)
         ovr = {}
@@ -1840,15 +1912,41 @@ class UnpairedAligner(BatchAligner):
                     records=records, lens=cs.lens, fw=cs.fw, rc=cs.rc,
                     Lmax=cs.Lmax)
                 ovr.update(self._mm1_replay_core(entries, shim))
-        for ri in sorted(ovr, reverse=True):
+        repl = {}
+        for ri in ovr:
             recs_o, _maxed_o, _cnt_o, _tp_o = ovr[ri]
-            L_o = int(cs.lens[ri])
-            grp = self._synth_replay_group(
-                records[ri], recs_o, _cnt_o, L_o, int(cs.minsc[ri]),
+            repl[ri] = self._synth_replay_group(
+                records[ri], recs_o, _cnt_o, int(cs.lens[ri]),
+                int(cs.minsc[ri]),
                 lambda o, _ri=ri: self._oriented(cs, _ri, o),
                 template=_tp_o)
-            out[int(rd_start[ri]):int(rd_start[ri + 1])] = grp
-        self._merge_stats(st)
+        # --seed-boost re-seeding rounds (bt2_search.cpp:3881): a mate
+        # continues into round 1+ only when its average seed range is
+        # >= seedBoostThresh elements; those ultra-repetitive reads are
+        # rerun with the pooled round-0..R-1 seed offsets
+        if nrounds == 1 and pol.seed_rounds > 1 and not pol.local \
+                and cs.seed_nz is not None:
+            gated = [ri for ri in range(B)
+                     if ri not in repl and not cs.filtered[ri]
+                     and cs.seed_nz[ri] > 0
+                     and cs.seed_elts[ri] / cs.seed_nz[ri]
+                     >= self.SEED_BOOST_THRESH]
+            if gated:
+                sub = self._align_batch_host([records[i] for i in gated],
+                                             nrounds=pol.seed_rounds,
+                                             _merge=False)
+                t = 0
+                for gi, ri in enumerate(gated):
+                    grp = [sub[t]]
+                    t += 1
+                    while t < len(sub) and (sub[t].flag & 0x100):
+                        grp.append(sub[t])
+                        t += 1
+                    repl[ri] = grp
+        for ri in sorted(repl, reverse=True):
+            out[int(rd_start[ri]):int(rd_start[ri + 1])] = repl[ri]
+        if _merge:
+            self._merge_stats(st)
         return out
 
 
