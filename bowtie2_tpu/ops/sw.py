@@ -509,3 +509,230 @@ def sw_full_numpy(read, quals, refwin, p: SWParams):
     if p.local:
         return int(H.max())
     return int(H[L, :].max())
+
+
+# ----------------------------------------------------------------------
+# Diagonal-band kernel for LONG reads (> the rectangle buckets).
+#
+# The rectangle formulation above materializes L x (L + 2G + 1) cells —
+# fine for short reads, quadratic for long ones (the reference pays the
+# same rect cost, aligner_sw.cpp; its checkpointing only bounds BACKTRACE
+# memory, sse_util.h). Here the band is explicit: cell (i, d) is read row
+# i against ref window column i + d, d in [0, 2G]. Every move maps to a
+# shared shift (diag: same d; E/ref-gap: d+1 of the previous row; F/read
+# gap: d-1 of the same row via the same Kogge-Stone lazy-F), and the per-
+# row ref chars are ONE dynamic_slice with a loop-counter start — shared
+# across the batch, so no per-problem gather in the hot loop.
+#
+# Memory: dirs are (L, B, ceil((2G+1)/8)) words — linear in L — so a
+# 100 kbp read costs ~100 KB of direction bits instead of ~5 GB.
+# Semantics: identical scoring; the band caps the alignment's NET
+# row-column drift at ±G relative to its start offset (the reference's
+# own DynProgFramer caps end displacement at the same 2*maxgap pad, so
+# the admitted-solution family matches for --dpad-bounded gaps).
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("params", "band"))
+def sw_banded_diag(reads: jnp.ndarray, quals: jnp.ndarray,
+                   read_lens: jnp.ndarray, refwins: jnp.ndarray,
+                   params: SWParams, band: int) -> SWResult:
+    """Band DP. reads/quals: (B, Lmax) int32; refwins: (B, Lmax + 2*band
+    + 1) int32 codes 0..5, rect-aligned (column c = ref char at rect col
+    c, NOT word-aligned). Returns SWResult whose `lane` is the BAND
+    column d of the best cell (ref rect column = row + d) and dirs are in
+    band coordinates (walk with backtrace_diag)."""
+    p = params
+    G = band
+    B, Lmax = reads.shape
+    BW = 2 * G + 1
+    mmpen_t = mm_penalty_from_qual(quals, p).T          # (Lmax, B)
+    reads_t = reads.T
+    lane_e = jnp.arange(BW, dtype=jnp.int32) * p.read_gap_extend
+
+    rgo = p.read_gap_open + p.read_gap_extend
+    fgo = p.ref_gap_open + p.ref_gap_extend
+
+    def row_fn(carry, xs):
+        h_prev, e_prev, best, best_row, best_lane, i = carry
+        rc, qp = xs
+        active = i < read_lens
+        # shared slice: band row i covers rect columns [i, i + BW)
+        refc = jax.lax.dynamic_slice_in_dim(refwins, i, BW, axis=1)
+
+        is_n = (rc[:, None] >= 4) | (refc == 4)
+        oob = refc >= 5
+        eq = (refc == rc[:, None]) & ~is_n & ~oob
+        sub = jnp.where(eq, p.match_bonus,
+              jnp.where(is_n & ~oob, -p.n_pen, -qp[:, None]))
+        sub = jnp.where(oob, NEG_INF // 2, sub)
+
+        # E (ref gap): rect (i-1, j) = band (i-1, d+1): shift LEFT
+        padR = jnp.full((B, 1), NEG_INF)
+        h_up = jnp.concatenate([h_prev[:, 1:], padR], axis=1)
+        e_up = jnp.concatenate([e_prev[:, 1:], padR], axis=1)
+        e_cur = jnp.maximum(h_up - fgo, e_up - p.ref_gap_extend)
+        e_from_ext = (e_up - p.ref_gap_extend) > (h_up - fgo)
+        if p.gap_barrier > 0:
+            bar = ((i < p.gap_barrier) |
+                   (i >= read_lens - p.gap_barrier))[:, None]
+            e_cur = jnp.where(bar, NEG_INF, e_cur)
+        e_cur = jnp.where(oob, NEG_INF, e_cur)
+
+        # diag: rect (i-1, j-1) = band (i-1, d): no shift
+        h_diag = h_prev + sub
+        h_noF = jnp.maximum(h_diag, e_cur)
+        src_noF = jnp.where(e_cur > h_diag, H_E, H_DIAG).astype(jnp.uint8)
+
+        # F (read gap): band (i, d-1): same lazy-F prefix scan
+        f_cur = _prefix_max_excl(h_noF - rgo + p.read_gap_extend
+                                 + lane_e[None, :]) - lane_e[None, :]
+        padL = jnp.full((B, 1), NEG_INF)
+        f_open = jnp.concatenate([padL, h_noF[:, :-1]], axis=1) - rgo
+        f_from_ext = f_cur > f_open
+        if p.gap_barrier > 0:
+            f_cur = jnp.where(bar, NEG_INF, f_cur)
+
+        h_cur = jnp.maximum(h_noF, f_cur)
+        src = jnp.where(f_cur > h_noF, jnp.uint8(H_F), src_noF)
+
+        if p.local:
+            clamp = (h_cur < 0) | ((h_cur == 0) & (src == H_DIAG))
+            h_cur = jnp.where(h_cur < 0, 0, h_cur)
+            src = jnp.where(clamp, jnp.uint8(H_START), src)
+        h_cur = jnp.maximum(h_cur, NEG_INF)
+
+        dirbits = (src.astype(jnp.int32)
+                   | jnp.where(e_from_ext, 4, 0)
+                   | jnp.where(f_from_ext, 8, 0))
+        if BW % 8:
+            dirbits = jnp.concatenate(
+                [dirbits, jnp.zeros((B, 8 - BW % 8), jnp.int32)], axis=1)
+        packed = jnp.sum(
+            dirbits.reshape(B, -1, 8)
+            << (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :],
+            axis=2, dtype=jnp.int32)
+
+        row_best = jnp.max(h_cur, axis=1)
+        colw_i = jnp.arange(BW, dtype=jnp.int32)[None, :]
+        row_best_lane = jnp.max(
+            jnp.where(h_cur == row_best[:, None], colw_i, -1), axis=1)
+        if p.local:
+            take = active & (row_best >= best)
+        else:
+            take = (i == read_lens - 1)
+        best = jnp.where(take, row_best, best)
+        best_row = jnp.where(take, i, best_row)
+        best_lane = jnp.where(take, row_best_lane, best_lane)
+
+        h_out = jnp.where(active[:, None], h_cur, h_prev)
+        e_out = jnp.where(active[:, None], e_cur, e_prev)
+        return (h_out, e_out, best, best_row, best_lane, i + 1), packed
+
+    # row -1: free start at any rect column c0 in [0, 2G] = band col c0
+    # of the virtual row -1 (rect row -1 col c0 maps to band d = c0 + 1
+    # seen from row 0's diag... the diag into (0, d) reads band (−1, d)
+    # which is rect (−1, d − 1 + 0)… rect col j−1 = d−1+i = d−1: free
+    # starts across [−1..2G−1] ⇒ allow all: h0 = 0 like the rect kernel.
+    h0 = jnp.zeros((B, BW), jnp.int32)
+    e0 = jnp.full((B, BW), NEG_INF)
+    init = (h0, e0, jnp.full((B,), NEG_INF), jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, jnp.int32), jnp.int32(0))
+    (h, e, best, best_row, best_lane, _), dirs = jax.lax.scan(
+        row_fn, init, (reads_t, mmpen_t))
+    return SWResult(best, best_row, best_lane, dirs)
+
+
+@partial(jax.jit, static_argnames=("params", "band"))
+def backtrace_diag(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
+                   lanes: jnp.ndarray, reads: jnp.ndarray,
+                   quals: jnp.ndarray, refwins: jnp.ndarray,
+                   params: SWParams, band: int) -> BTResult:
+    """Backtrace over band-coordinate dirs from sw_banded_diag.
+
+    Band moves: M -> (i-1, d); I/E -> (i-1, d+1); D/F -> (i, d-1). Rect
+    column of (i, d) is i + d; ref_start_win is reported in RECT columns
+    so callers share the rectangle kernel's position math."""
+    p = params
+    G = band
+    Lmax, B, Wp = dirs.shape
+    BW = 2 * G + 1
+    Bc = sel.shape[0]
+    W = refwins.shape[1]
+    S = bt_steps(Lmax, BW, p.local)
+    dirs_sel = jnp.take(dirs, sel, axis=1).transpose(1, 0, 2).reshape(Bc, -1)
+    mmpen = mm_penalty_from_qual(quals, p)
+
+    def step(carry, _):
+        i, d, mode, done, nmm, ngo, ngc, nrefn, score, refmin = carry
+        dc = jnp.clip(d, 0, BW - 1)
+        flat = (jnp.clip(i, 0, Lmax - 1) * Wp + dc // 8)[:, None]
+        word = jnp.take_along_axis(dirs_sel, flat, axis=1)[:, 0]
+        dd = (word >> (4 * (dc % 8))) & 15
+        src = dd & 3
+
+        rc = jnp.take_along_axis(reads, jnp.clip(i, 0, Lmax - 1)[:, None],
+                                 axis=1)[:, 0]
+        qp = jnp.take_along_axis(mmpen, jnp.clip(i, 0, Lmax - 1)[:, None],
+                                 axis=1)[:, 0]
+        j = jnp.clip(i, 0, Lmax - 1) + dc          # rect column
+        fc = jnp.take_along_axis(refwins,
+                                 jnp.clip(j, 0, W - 1)[:, None],
+                                 axis=1)[:, 0]
+
+        at_start = (mode == 0) & (src == H_START)
+        done_now = done | at_start | (i < 0) | (d < 0) | (d >= BW)
+
+        emit_m = (mode == 0) & (src == H_DIAG)
+        emit_i = ((mode == 0) & (src == H_E)) | (mode == 1)
+        emit_d = ((mode == 0) & (src == H_F)) | (mode == 2)
+        emit_m, emit_i, emit_d = (e & ~done_now
+                                  for e in (emit_m, emit_i, emit_d))
+
+        is_n = (rc >= 4) | (fc == 4)
+        ismatch = emit_m & (rc == fc) & ~is_n & (fc < 4)
+        m_sc = jnp.where(ismatch, p.match_bonus,
+               jnp.where(is_n, -p.n_pen, -qp))
+
+        e_ext = (dd & 4) != 0
+        f_ext = (dd & 8) != 0
+        i_open = emit_i & ~e_ext
+        d_open = emit_d & ~f_ext
+
+        score = score + jnp.where(emit_m, m_sc, 0) \
+            - jnp.where(emit_i, p.ref_gap_extend, 0) \
+            - jnp.where(i_open, p.ref_gap_open, 0) \
+            - jnp.where(emit_d, p.read_gap_extend, 0) \
+            - jnp.where(d_open, p.read_gap_open, 0)
+        nmm = nmm + (emit_m & ~ismatch & (rc < 4)
+                     & (fc != 4)).astype(jnp.int32) \
+            + (emit_m & is_n).astype(jnp.int32)
+        nrefn = nrefn + (emit_m & (fc == 4)).astype(jnp.int32)
+        ngo = ngo + i_open.astype(jnp.int32) + d_open.astype(jnp.int32)
+        ngc = ngc + emit_i.astype(jnp.int32) + emit_d.astype(jnp.int32)
+        refmin = jnp.where(emit_m | emit_d, jnp.minimum(refmin, j), refmin)
+
+        op = jnp.where(emit_m, OP_M,
+             jnp.where(emit_i, OP_I,
+             jnp.where(emit_d, OP_D, OP_NONE)))
+        packed = (op | (jnp.clip(fc, 0, 5) << 2)
+                  | (ismatch.astype(jnp.int32) << 5)).astype(jnp.uint8)
+
+        # band moves: M -> (i-1, d); I -> (i-1, d+1); D -> (i, d-1)
+        i2 = jnp.where(emit_m | emit_i, i - 1, i)
+        d2 = jnp.where(emit_i, d + 1, jnp.where(emit_d, d - 1, d))
+        mode2 = jnp.where(emit_i & e_ext, 1,
+                jnp.where(emit_d & f_ext, 2, 0))
+        i = jnp.where(done_now, i, i2)
+        d = jnp.where(done_now, d, d2)
+        mode = jnp.where(done_now, mode, mode2)
+        done = done_now | (i < 0)
+        return (i, d, mode, done, nmm, ngo, ngc, nrefn, score, refmin), packed
+
+    z = jnp.zeros(Bc, jnp.int32)
+    init = (rows, lanes, z, jnp.zeros(Bc, bool), z, z, z, z, z,
+            jnp.full(Bc, 1 << 30, jnp.int32))
+    (i, d, mode, done, nmm, ngo, ngc, nrefn, score, refmin), ops = \
+        jax.lax.scan(step, init, None, length=S)
+    read_start = i + 1
+    refmin = jnp.where(refmin == (1 << 30), 0, refmin)
+    return BTResult(ops, read_start, refmin, nmm, ngo, ngc, nrefn, score)

@@ -62,11 +62,20 @@ BT_FIELDS = ("read_start", "ref_start_win", "n_mm", "n_go",
              "n_gc", "n_refn", "score_check")
 
 
+LONG_READ_MAX = 1 << 20      # 1 Mbp: sanity ceiling for the long path
+
+
 def _bucket(n: int, buckets=LEN_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"read length {n} exceeds max supported {buckets[-1]}")
+    # long-read buckets: pow2 sizes served by the diagonal-band kernel
+    b = buckets[-1]
+    while b < n and b < LONG_READ_MAX:
+        b *= 2
+    if n > b:
+        raise ValueError(f"read length {n} exceeds max supported {b}")
+    return b
 
 
 def _pow2_at_least(n: int, lo: int = 256) -> int:
@@ -366,6 +375,13 @@ class BatchAligner:
         import time as _time
         _t = _time.time()
 
+        # long reads (> the rectangle buckets): the whole-read exact sweep
+        # and half-read 1mm search are Lmax-step scans — skipped (an
+        # exact/1mm full-length hit at 8 kbp+ is vanishing, and the seed
+        # path finds the same alignment); DP runs on the diagonal-band
+        # kernel (linear memory).
+        long_mode = Lmax > LEN_BUCKETS[-1]
+
         # phase 1+2: dispatch all three searches before pulling any result
         # (the device→host link is high-latency; stacked single transfers)
         both = np.concatenate([fw, rc], axis=0)          # (2B, Lmax) int8
@@ -374,9 +390,14 @@ class BatchAligner:
         # (int8 elementwise ops are slower on the VPU's (32,128) tiling)
         cs.jboth = self._put(both).astype(jnp.int32)
         cs.jquals = self._put(np.concatenate([qu, qu_r], axis=0)).astype(jnp.int32)
-        sweep = fm.exact_sweep(self.idx.fw, cs.jboth,
-                               self._put(both_lens))
-        sweep_d = jnp.stack([sweep.top, sweep.bot, sweep.nedit])
+        if long_mode:
+            z2 = np.zeros(2 * B, dtype=self._row_dtype)
+            sweep_d = jnp.asarray(np.stack(
+                [z2, z2, np.full(2 * B, 99, np.int32).astype(z2.dtype)]))
+        else:
+            sweep = fm.exact_sweep(self.idx.fw, cs.jboth,
+                                   self._put(both_lens))
+            sweep_d = jnp.stack([sweep.top, sweep.bot, sweep.nedit])
         # paired-end reads with both mates passing filter get a 20%-boosted
         # seed interval (bt2_search.cpp:3445-3448)
         ival_boost = None
@@ -385,9 +406,17 @@ class BatchAligner:
             okm = ~filtered
             ival_boost = okm & np.roll(okm, hb)
         seed_or, seed_off, seed_mlen, seed_tb_d, sshape, cs.inst0 = \
-            self._seed_search(fw, rc, lens, ival_boost, nrounds=nrounds)
-        half_off, half_mlen, half_tb_d = self._half_search(
-            both, both_lens, cs.jboth)
+            self._seed_search(fw, rc, lens, ival_boost, nrounds=nrounds,
+                              max_seeds=512 if long_mode else 64)
+        if long_mode:
+            half_off = np.zeros((2 * B, 2), np.int64)
+            half_mlen = np.ones((2 * B, 2), np.int64)
+            half_tb_d = jnp.asarray(np.stack(
+                [np.ones((2, 2 * B), self._row_dtype),
+                 np.zeros((2, 2 * B), self._row_dtype)]).reshape(2, -1))
+        else:
+            half_off, half_mlen, half_tb_d = self._half_search(
+                both, both_lens, cs.jboth)
         if pol.seed_mms >= 1:
             # -N 1: a seed occurrence with <=1 mismatch has one exact seed
             # half (pigeonhole, verified by the DP extension) — the TPU
@@ -508,7 +537,8 @@ class BatchAligner:
         n_cand = anchor.size
         G = pol.band_halfwidth(Lmax)
         pool = self._run_dp(anchor - G, rid, cand_read, cand_or,
-                            cs.jboth, cs.jquals, lens, G, Lmax, n_cand)
+                            cs.jboth, cs.jquals, lens, G, Lmax, n_cand,
+                            diag_kernel=long_mode)
 
         valid = pool.scores >= minsc[cand_read]
         # half-read (pigeonhole) candidates model the reference's up-front
@@ -536,7 +566,8 @@ class BatchAligner:
 
     def _run_dp(self, win_start, rid, read_idx, orient, jboth, jquals,
                 lens, G: int, Lmax: int, n: int,
-                full_width: bool = False) -> DPPool:
+                full_width: bool = False,
+                diag_kernel: bool = False) -> DPPool:
         """Gather windows + run banded DP for n problems (padded to pow2).
 
         Candidate read/qual rows are gathered ON DEVICE from the batch
@@ -571,8 +602,13 @@ class BatchAligner:
         # of the gathered window is a valid rect column
         rect_cols = np.full(NC, width, np.int32) if full_width \
             else (lens_c + 2 * G + 1).astype(np.int32)
-        res = sw_banded(jreads_c, jquals_c, jlens_c, wins, pol.sw_params(),
-                        G, self._put(rect_cols))
+        if diag_kernel:
+            from bowtie2_tpu.ops.sw import sw_banded_diag
+            res = sw_banded_diag(jreads_c, jquals_c, jlens_c, wins,
+                                 pol.sw_params(), G)
+        else:
+            res = sw_banded(jreads_c, jquals_c, jlens_c, wins,
+                            pol.sw_params(), G, self._put(rect_cols))
         # ungapped mismatch count at the anchor diagonal (for the
         # half-candidate 1mm admission gate) — same transfer as DP results
         diag = wins[:, G:G + Lmax]
@@ -582,12 +618,18 @@ class BatchAligner:
         sw4 = np.asarray(jnp.stack([res.score, res.row, res.lane, mm_ug_d]))
         ws = np.zeros(NC, dtype=np.int64)
         ws[:n] = win_start
+        # diag kernel lanes are BAND columns; pool keeps rect columns so
+        # end_pos()/emission math is kernel-agnostic, and the band lane is
+        # retained for backtrace_diag
+        lanes_rect = sw4[2] + (sw4[1] if diag_kernel else 0)
         pool = DPPool(G=G, Lmax=Lmax, n=n, win_start=ws,
                       rid=rid, scores=sw4[0, :n].astype(np.int64),
-                      rows_end=sw4[1], lanes_end=sw4[2],
+                      rows_end=sw4[1], lanes_end=lanes_rect,
                       dirs=res.dirs, jreads=jreads_c, jquals=jquals_c,
                       wins=wins)
         pool.mm_ug = sw4[3, :n]
+        pool.diag = diag_kernel
+        pool.band_lanes = sw4[2]
         return pool
 
     # ---------------- phase 6: backtrace of chosen problems ----------------
@@ -601,13 +643,24 @@ class BatchAligner:
         sel_pad = np.zeros(Bc, np.int32)
         sel_pad[:sel.size] = sel
         jsel = self._put(sel_pad)
-        bt = backtrace(pool.dirs, jsel,
-                       self._put(pool.rows_end[sel_pad].astype(np.int32)),
-                       self._put(pool.lanes_end[sel_pad].astype(np.int32)),
-                       jnp.take(pool.jreads, jsel, axis=0),
-                       jnp.take(pool.jquals, jsel, axis=0),
-                       jnp.take(pool.wins, jsel, axis=0),
-                       self.pol.sw_params(), pool.G)
+        if getattr(pool, "diag", False):
+            from bowtie2_tpu.ops.sw import backtrace_diag
+            bt = backtrace_diag(
+                pool.dirs, jsel,
+                self._put(pool.rows_end[sel_pad].astype(np.int32)),
+                self._put(pool.band_lanes[sel_pad].astype(np.int32)),
+                jnp.take(pool.jreads, jsel, axis=0),
+                jnp.take(pool.jquals, jsel, axis=0),
+                jnp.take(pool.wins, jsel, axis=0),
+                self.pol.sw_params(), pool.G)
+        else:
+            bt = backtrace(pool.dirs, jsel,
+                           self._put(pool.rows_end[sel_pad].astype(np.int32)),
+                           self._put(pool.lanes_end[sel_pad].astype(np.int32)),
+                           jnp.take(pool.jreads, jsel, axis=0),
+                           jnp.take(pool.jquals, jsel, axis=0),
+                           jnp.take(pool.wins, jsel, axis=0),
+                           self.pol.sw_params(), pool.G)
         sc_d = jnp.stack([getattr(bt, f) for f in BT_FIELDS])
         ops_host = np.asarray(bt.ops)            # (S, Bc)
         sc_host = np.asarray(sc_d)               # (7, Bc)
@@ -731,7 +784,7 @@ class BatchAligner:
 
     # ------------------------------------------------------------------
     def _seed_offsets(self, lens, ival_boost=None, smax_min: int = 1,
-                      nrounds: int = 1):
+                      nrounds: int = 1, max_seeds: int = 64):
         """Instantiated seed offsets for both orientations (host numpy).
 
         fw seeds start at depth d from the 5' end; rc seeds are anchored
@@ -764,7 +817,7 @@ class BatchAligner:
 
         base = (ivals[:, None] * np.arange(nrounds, dtype=np.int32)[None, :]
                 ) // nrounds                             # (B, nrounds)
-        per_round = np.arange(64, dtype=np.int32)        # max seeds per round
+        per_round = np.arange(max_seeds, dtype=np.int32)  # seeds per round
         offs = (base[:, :, None] + per_round[None, None, :] * ivals[:, None, None])
         valid_off = offs + slen <= lens[:, None, None]
         valid_off &= (np.arange(nrounds, dtype=np.int32)[None, :, None]
@@ -797,7 +850,8 @@ class BatchAligner:
             - np.take_along_axis(cumn, o, axis=1)
         return (valid_all & (nwin == 0)).sum(axis=1)
 
-    def _seed_search(self, fw, rc, lens, ival_boost=None, nrounds: int = 1):
+    def _seed_search(self, fw, rc, lens, ival_boost=None, nrounds: int = 1,
+                     max_seeds: int = 64):
         """Search instantiated seeds for both orientations (device).
 
         Seed windows are extracted ON DEVICE (reads are device-resident
@@ -808,7 +862,8 @@ class BatchAligner:
         B, Lmax = fw.shape
         slen = pol.seed_len
         offs_all, valid_all = self._seed_offsets(lens, ival_boost,
-                                                 nrounds=nrounds)
+                                                 nrounds=nrounds,
+                                                 max_seeds=max_seeds)
         smax = offs_all.shape[1]
         both = np.concatenate([fw, rc], axis=0).astype(np.int32)
         top, bot = fm.seed_search_offsets(
@@ -1285,6 +1340,8 @@ class UnpairedAligner(BatchAligner):
         """Dispatch the fused device program for one batch (non-blocking)."""
         if not records:
             return None
+        if max(int(r.seq.size) for r in records) > LEN_BUCKETS[-1]:
+            return ("long", records)   # long reads: diag-kernel host path
         from bowtie2_tpu.ops.fused import fused_se
         from bowtie2_tpu.ops.sw import bt_steps
         import time as _time
@@ -1355,6 +1412,8 @@ class UnpairedAligner(BatchAligner):
         """Block on a submitted batch's single transfer and emit SAM."""
         if fb is None:
             return []
+        if isinstance(fb, tuple) and fb[0] == "long":
+            return self._align_batch_host(fb[1])
         from bowtie2_tpu.ops.fused import CHOSEN_FIELDS
         import time as _time
         _t = _time.time()
@@ -1510,6 +1569,18 @@ class UnpairedAligner(BatchAligner):
         default unpaired path. `suffix` is appended to every line (RG)."""
         if fb is None:
             return []
+        if isinstance(fb, tuple) and fb[0] == "long":
+            out = self._align_batch_host(fb[1])
+            groups, t = [], 0
+            for rec in fb[1]:
+                grp = [(out[t].flag, out[t].line().encode() + suffix)]
+                t += 1
+                while t < len(out) and out[t].qname == rec.name \
+                        and out[t].flag & 0x100:
+                    grp.append((out[t].flag, out[t].line().encode() + suffix))
+                    t += 1
+                groups.append(grp)
+            return groups
         from bowtie2_tpu.native.samemit import (RefNameTable, XS_OMIT,
                                                 sam_tails_batch)
         from bowtie2_tpu.ops.fused import CHOSEN_FIELDS
@@ -1995,6 +2066,9 @@ class PairedAligner(BatchAligner):
             return None
         if self._row_dtype == np.int64:
             return ("host", pairs)    # large-index mode: legacy path
+        if max(max(p[0].seq.size, p[1].seq.size) for p in pairs) \
+                > LEN_BUCKETS[-1]:
+            return ("host", pairs)    # long reads: diag-kernel host path
         from bowtie2_tpu.ops.fused import fused_pe
         import time as _time
         _t = _time.time()
@@ -2182,6 +2256,8 @@ class PairedAligner(BatchAligner):
 
         rpool = None
         rtb = {}
+        if cs.Lmax > LEN_BUCKETS[-1]:
+            rescue_specs = []      # long reads: no rect-kernel mate rescue
         if rescue_specs:
             Lmax = cs.Lmax
             Gr = max((pol.maxins + 32 - Lmax + 1) // 2,

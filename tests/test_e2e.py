@@ -212,3 +212,61 @@ def test_seed_mms_n1_rescues_mismatched_seeds():
     out1 = al1.align_batch([rec])
     assert out1[0].flag & 4 == 0
     assert out1[0].pos == p + 1
+
+
+def test_long_reads_diag_kernel():
+    """Reads beyond the rectangle buckets (> 8192 bp) route to the
+    diagonal-band kernel (linear memory); alignments must match the
+    reference on full fields (validated vs the oracle binary in
+    development; here we assert the structural invariants + score
+    round-trip since the oracle needs .ref_build)."""
+    import os
+    import subprocess
+    rng = np.random.default_rng(17)
+    from bowtie2_tpu.io.fastx import read_fasta
+    refs = read_fasta("/root/reference/example/reference/lambda_virus.fa")
+    g = refs[0][1]
+    from bowtie2_tpu.index.build import build_index
+    from bowtie2_tpu.pipeline.align import UnpairedAligner
+    from bowtie2_tpu.pipeline.policy import make_policy
+    data = build_index("/root/reference/example/reference/lambda_virus.fa")
+    ua = UnpairedAligner(data, make_policy("sensitive"))
+    reads = []
+    truth = []
+    for i in range(4):
+        L = int(rng.integers(9000, 12000))
+        p = int(rng.integers(0, g.size - L))
+        codes = g[p:p + L].astype(np.int8).copy()
+        err = rng.random(L) < 0.02
+        codes[err] = (codes[err] + rng.integers(1, 4, err.sum())) % 4
+        reads.append(_mk(f"L{i}", np.clip(codes, 0, 3).astype(np.uint8)))
+        truth.append(p + 1)
+    out = ua.collect(ua.submit(reads))
+    assert len(out) == 4
+    for r, want_pos in zip(out, truth):
+        assert not (r.flag & 0x4)
+        assert r.pos == want_pos
+        assert r.cigar.endswith("M")
+        op = dict((t, v) for t, _y, v in r.opts)
+        assert op["NM"] == op["XM"]          # pure substitutions
+    # live-oracle field comparison when the reference binary is present
+    refbin = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".ref_build", "bowtie2-align-s")
+    refidx = os.path.join(os.path.dirname(refbin), "golden", "lambda")
+    if os.path.exists(refbin):
+        import tempfile
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        with tempfile.NamedTemporaryFile("w", suffix=".fq",
+                                         delete=False) as f:
+            for rec in reads:
+                f.write("@%s\n%s\n+\n%s\n" % (
+                    rec.name, alpha[rec.seq].tobytes().decode(),
+                    (rec.qual + 33).tobytes().decode()))
+            fq = f.name
+        res = subprocess.run([refbin, "-x", refidx, "-U", fq, "--quiet",
+                              "-p", "1"], check=True, capture_output=True)
+        want = [ln.split("\t") for ln in res.stdout.decode().splitlines()
+                if not ln.startswith("@")]
+        for r, w in zip(out, want):
+            assert (str(r.flag), str(r.pos), str(r.mapq), r.cigar) == \
+                (w[1], w[3], w[4], w[5]), (r.qname, w[:6])

@@ -208,3 +208,47 @@ def test_origin_tracking_matches_backtrace(rng, params):
                    params, G)
     np.testing.assert_array_equal(np.asarray(res.origin),
                                   np.asarray(bt.ref_start_win))
+
+
+@pytest.mark.parametrize("params", [E2E, LOCAL], ids=["e2e", "local"])
+def test_diag_kernel_matches_rect(rng, params):
+    """The long-read diagonal-band kernel must reproduce the rectangle
+    kernel's scores/positions and a consistent backtrace for
+    --dpad-bounded alignments."""
+    from bowtie2_tpu.ops.sw import backtrace_diag, sw_banded_diag
+
+    G, L = 10, 80
+    B = 32
+    reads, quals, wins = [], [], []
+    for k in range(B):
+        r, q, w = _make_problem(rng, L, G, n_mm=k % 4, n_ins=k % 3,
+                                n_del=k % 2, with_n=(k % 6 == 0))
+        reads.append(r)
+        quals.append(q)
+        wins.append(w)
+    reads, quals, wins = np.stack(reads), np.stack(quals), np.stack(wins)
+    lens = np.full(B, L, np.int32)
+    r0 = sw_banded(jnp.asarray(reads), jnp.asarray(quals),
+                   jnp.asarray(lens), jnp.asarray(wins), params, G)
+    r1 = sw_banded_diag(jnp.asarray(reads), jnp.asarray(quals),
+                        jnp.asarray(lens), jnp.asarray(wins), params, G)
+    np.testing.assert_array_equal(np.asarray(r0.score), np.asarray(r1.score))
+    # rect column of the diag result = row + band lane
+    np.testing.assert_array_equal(
+        np.asarray(r0.lane), np.asarray(r1.row) + np.asarray(r1.lane))
+    sel = np.arange(B, dtype=np.int32)
+    bt = backtrace_diag(r1.dirs, jnp.asarray(sel), r1.row, r1.lane,
+                        jnp.asarray(reads), jnp.asarray(quals),
+                        jnp.asarray(wins), params, G)
+    np.testing.assert_array_equal(np.asarray(bt.score_check),
+                                  np.asarray(r0.score))
+    from bowtie2_tpu.ops.sw import backtrace
+    bt0 = backtrace(r0.dirs, jnp.asarray(sel), r0.row, r0.lane,
+                    jnp.asarray(reads), jnp.asarray(quals),
+                    jnp.asarray(wins), params, G)
+    np.testing.assert_array_equal(np.asarray(bt.ref_start_win),
+                                  np.asarray(bt0.ref_start_win))
+    np.testing.assert_array_equal(np.asarray(bt.read_start),
+                                  np.asarray(bt0.read_start))
+    np.testing.assert_array_equal(np.asarray(bt.n_mm), np.asarray(bt0.n_mm))
+    np.testing.assert_array_equal(np.asarray(bt.n_gc), np.asarray(bt0.n_gc))
