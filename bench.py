@@ -98,10 +98,36 @@ def gen_ecoli_corpus():
                 i, s2[i].tobytes().decode(), q2[i].tobytes().decode()))
 
 
+def _probe_backend(timeout_s: float = 150.0) -> bool:
+    """True if the default (TPU) backend initializes within timeout.
+
+    The tunneled axon backend can hang indefinitely at init when the
+    tunnel is down (observed: a full day of UNAVAILABLE during round 3);
+    probing in a SUBPROCESS keeps this process clean so it can fall back
+    to CPU and still print its primary metric instead of timing out with
+    no output at all."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/bowtie2_tpu/jax"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    backend_note = None
+    if not _probe_backend():
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        backend_note = "cpu-fallback (TPU backend init timed out)"
+        print(json.dumps({"warning": backend_note}), file=sys.stderr,
+              flush=True)
     from bowtie2_tpu.index.build import build_index, load_index, save_index
     from bowtie2_tpu.io.fastx import iter_reads
     from bowtie2_tpu.pipeline.align import UnpairedAligner, _bucket
@@ -111,6 +137,9 @@ def main():
         save_index(build_index(LAMBDA_FA), IDX_PREFIX)
     data = load_index(IDX_PREFIX)
     records = list(iter_reads(LAMBDA_READS))
+    if backend_note:
+        records = records[:2000]     # CPU fallback: stay under the driver
+        # timeout — the number is a liveness marker, not a TPU claim
 
     def run(aligner, batch=8192):
         by_bucket = {}
@@ -130,7 +159,7 @@ def main():
 
     run(UnpairedAligner(data, make_policy("sensitive")))  # warmup/compile
     best = 0.0
-    for _ in range(3):   # host-tunnel latency is noisy; take the best pass
+    for _ in range(1 if backend_note else 3):   # noisy tunnel: best of 3
         aligner2 = UnpairedAligner(data, make_policy("sensitive"))
         t0 = time.time()
         n = run(aligner2)
@@ -141,12 +170,15 @@ def main():
     rps = best
 
     # PRIMARY LINE — printed before any extra work, flushed immediately.
-    print(json.dumps({
+    primary = {
         "metric": "lambda_unpaired_e2e_reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(rps / REF_READS_PER_SEC, 4),
-    }), flush=True)
+    }
+    if backend_note:
+        primary["backend"] = backend_note
+    print(json.dumps(primary), flush=True)
 
     # ---- deadline-guarded extras (stderr + BENCH_EXTRA.json only) ----
     extra = {"lambda_se_reads_per_sec": round(rps, 1),
