@@ -21,6 +21,20 @@ corpora (600/600 reads byte-identical choice; tests/test_rng_parity.py).
 Imperfect multimap reads (best score < perfect) additionally consume
 draws inside the 1mm/seed phases; that trajectory class is not replayed
 yet — those reads keep the canonical deterministic choice.
+
+CHARACTERIZED (round 3, via the oracle's --met counters on single
+reads) for the 1mm-tie class: the reference's -M score TIGHTENING
+(tighten=3, aligner_sw_driver.cpp:1449-1479) raises minsc to
+secbest + (diff*3)/4 + 1 after the second equal-score alignment — for
+a tie at score s < perfect that is s+1, so every later row FAILS, the
+maxEeStreak(15) fail streak ends the 1mm phase after exactly
+2 successes + 15 fails = 17 row draws, and the read proceeds into the
+SEED phase (whose rankSeedHits + WeightedRandomSampler + per-attempt
+Random1toN draws are the remaining unmodeled pieces; a constant-K fit
+explains ~2/3 of reads, so the variance is in those samplers). Exact
+ties at the PERFECT score do NOT tighten past perfect (minsc++ is
+gated on minsc < perfectScore) — which is why the exact-multimap layer
+above needs no stopping rule other than the -M cap.
 """
 
 from typing import List, Optional, Tuple
