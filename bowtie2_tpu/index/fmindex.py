@@ -50,10 +50,18 @@ class FMIndex(NamedTuple):
     def from_host(data: IndexData, device=None) -> "FMIndex":
         large = data.fw.occ_cp.dtype == np.int64
         if large:
-            # int64 device arrays require the x64 flag; small indexes stay
-            # int32 (2x less HBM traffic in every LF step)
+            # positions/framing need signed 64-bit on device (window starts
+            # can be negative near the origin), so the x64 flag goes on —
+            # but the HOT row space (occ/ftab/offs, every LF-step quantity)
+            # is uint32 whenever the row count fits: TPUs have no native
+            # int64 (XLA emulates it as int32 pairs, and the round-2 large
+            # mode measured a 184x cliff), while uint32 rows cover any
+            # genome below 4.29 Gbp — including GRCh38 — at native width.
             jax.config.update("jax_enable_x64", True)
-        rdt = jnp.int64 if large else jnp.int32
+            rdt = jnp.uint32 if data.fw.n + 1 < (1 << 32) else jnp.int64
+        else:
+            rdt = jnp.int32
+        nrdt = np.dtype(rdt.dtype if hasattr(rdt, "dtype") else rdt)
 
         def half(h: HalfIndex):
             if h is None:
@@ -66,15 +74,16 @@ class FMIndex(NamedTuple):
             offs = h.offs if h.offs is not None else \
                 np.zeros(1, dtype=h.occ_cp.dtype)
             return FMHalf(
-                n=rdt(h.n), z_off=rdt(h.z_off),
-                occ_cp=jnp.asarray(h.occ_cp),
+                n=jnp.asarray(np.asarray(h.n, dtype=nrdt)),
+                z_off=jnp.asarray(np.asarray(h.z_off, dtype=nrdt)),
+                occ_cp=jnp.asarray(h.occ_cp.astype(nrdt, copy=False)),
                 bwt_blocks=jnp.asarray(
                     h.bwt_words.reshape(nblocks, -1).view(np.int32)),
-                fchr=jnp.asarray(h.fchr),
-                ftab=jnp.asarray(h.ftab),
+                fchr=jnp.asarray(h.fchr.astype(nrdt, copy=False)),
+                ftab=jnp.asarray(h.ftab.astype(nrdt, copy=False)),
                 mark_blocks=jnp.asarray(mark.reshape(nblocks, -1)),
                 mark_cp=jnp.asarray(markcp),
-                offs=jnp.asarray(offs),
+                offs=jnp.asarray(offs.astype(nrdt, copy=False)),
             )
 
         idx = FMIndex(

@@ -24,9 +24,13 @@ Performance notes (measured on TPU v5e):
     steps, SA walks scan 2^offrate steps).
   * Tiny tables (fchr, 5 entries) are reduced with masked sums, not gathers.
 
-Row indices follow the index's row dtype: int32 for genomes below 2^31
-joined bp, int64 for the ".bt2l"-analog large mode (reference btypes.h) —
-kernels derive it via FMHalf.row_dtype.
+Row indices follow the index's row dtype (reference btypes.h 32/64-bit
+switch): int32 for genomes below 2^31 joined bp, uint32 for the
+".bt2l"-analog large mode up to 2^32 bp (covers GRCh38; TPUs have no native
+int64 — XLA emulates it as int32 pairs, so uint32 keeps every LF step at
+native width), int64 only past 4.29 Gbp. Kernels derive it via
+FMHalf.row_dtype; mixed-dtype adds are cast explicitly because uint32+int32
+would silently promote to (emulated) int64 under the x64 flag.
 """
 
 from functools import partial
@@ -76,7 +80,10 @@ def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
                            jnp.zeros((), half.row_dtype)), axis=1,
                  dtype=half.row_dtype)
     corr = ((c == 0) & (i > half.z_off)).astype(jnp.int32)
-    return cp + inb - corr
+    # explicit cast: uint32 rows + int32 counts would promote to int64
+    # under x64 (large mode), silently re-introducing emulated 64-bit ops
+    # in the hot loop; the wraparound cast is exact (result >= 0 mod 2^32)
+    return cp + (inb - corr).astype(half.row_dtype)
 
 
 def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +97,8 @@ def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1,
                   dtype=jnp.int32)
     corr = jnp.where((_CHARS4[None, :] == 0) & (i > half.z_off)[:, None], 1, 0)
-    return jnp.take(half.occ_cp, block, axis=0) + cnt - corr
+    return jnp.take(half.occ_cp, block, axis=0) \
+        + (cnt - corr).astype(half.row_dtype)
 
 
 def lf_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -368,7 +376,7 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
         cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cps,
                                jnp.zeros((), rdt)), axis=1, dtype=rdt)
         corr = ((c == 0) & (row > half.z_off)).astype(jnp.int32)
-        nrow = _fchr_at(half, c) + cp + inb - corr
+        nrow = _fchr_at(half, c) + cp + (inb - corr).astype(rdt)
         row = jnp.where(done_now, row, nrow)
         steps = jnp.where(done_now, steps, steps + 1)
         return (row, steps, done_now), None
@@ -384,4 +392,4 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
     inb = jnp.sum(bits * (_LANE[None, :] < pos[:, None]), axis=1,
                   dtype=jnp.int32)
     rank = jnp.take(half.mark_cp, block) + inb
-    return jnp.take(half.offs, rank) + steps
+    return jnp.take(half.offs, rank) + steps.astype(rdt)

@@ -318,8 +318,12 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
         tops2, bots2, offs2, mlens2, halfs2, max_exact_rows)
 
     # ---------------- phase 3b: SA resolution of every slot ----------------
+    # position/framing arithmetic from here on is signed (window starts can
+    # go negative near the origin) and per-candidate, so it leaves the row
+    # dtype (uint32 in the large mode) for the seg tables' dtype (int64)
     jpos = fm.sa_resolve.__wrapped__(
-        half, slot_row.reshape(-1), period=period).reshape(B, T)
+        half, slot_row.reshape(-1), period=period
+    ).reshape(B, T).astype(seg.seg_joined_start.dtype)
 
     # straddle filter: matched stretch must stay inside one segment
     segi = jnp.searchsorted(seg.seg_joined_start, jpos, side="right") - 1

@@ -78,6 +78,18 @@ def _bucket(n: int, buckets=LEN_BUCKETS) -> int:
     return b
 
 
+def _u32pos(a: np.ndarray) -> np.ndarray:
+    """Decode an int32-wrapped global position back to int64.
+
+    The fused PE metadata exports global reference positions as int32 to
+    keep the blob one dtype; in the large-index mode true positions span
+    [-(G+31), 4.29e9) — an interval shorter than 2^32, so the mod-2^32
+    image is unambiguous: values in the top 4096 slots are the (small)
+    negatives, everything else is the non-negative position."""
+    v = a.astype(np.int64) & 0xFFFFFFFF
+    return np.where(v >= (1 << 32) - 4096, v - (1 << 32), v)
+
+
 def _pow2_at_least(n: int, lo: int = 256) -> int:
     b = lo
     while b < n:
@@ -2064,8 +2076,6 @@ class PairedAligner(BatchAligner):
         """Dispatch the fused PE device program (non-blocking)."""
         if not pairs:
             return None
-        if self._row_dtype == np.int64:
-            return ("host", pairs)    # large-index mode: legacy path
         if max(max(p[0].seq.size, p[1].seq.size) for p in pairs) \
                 > LEN_BUCKETS[-1]:
             return ("host", pairs)    # long reads: diag-kernel host path
@@ -2311,46 +2321,57 @@ class PairedAligner(BatchAligner):
             st.reads += 2
             l1 = _eff_ranked(i)
             l2 = _eff_ranked(B + i)
+            xs1 = int(scores[l1[1]]) if len(l1) > 1 else None
+            xs2 = int(scores[l2[1]]) if len(l2) > 1 else None
             combos = conc.get(i)
             if combos:
-                best = combos[0]
                 sec_sum = combos[1][0] if len(combos) > 1 else None
-                if isinstance(best[1], tuple):   # rescue pair
-                    _, ak, t, opp_ri, opp_or, rlo, rhi = best[1]
-                    if opp_ri >= B:
-                        k1, p1, t1 = ak, cs.pool, tb_of[ak]
-                        o1 = int(cs.cand_or[ak])
-                        lo1, hi1 = ext_lo[ak], ext_hi[ak]
-                        k2, p2, t2 = t, rpool, rtb[t]
-                        o2 = opp_or
-                        lo2, hi2 = rlo, rhi
-                    else:
-                        k1, p1, t1 = t, rpool, rtb[t]
-                        o1 = opp_or
-                        lo1, hi1 = rlo, rhi
-                        k2, p2, t2 = ak, cs.pool, tb_of[ak]
-                        o2 = int(cs.cand_or[ak])
-                        lo2, hi2 = ext_lo[ak], ext_hi[ak]
-                else:
-                    _, k1, k2 = best
-                    p1 = p2 = cs.pool
-                    t1, t2 = tb_of[k1], tb_of[k2]
-                    o1, o2 = int(cs.cand_or[k1]), int(cs.cand_or[k2])
-                    lo1, hi1 = ext_lo[k1], ext_hi[k1]
-                    lo2, hi2 = ext_lo[k2], ext_hi[k2]
-                ok = self._emit_pair(st, out, cs, i, rec1, rec2,
-                                     (k1, p1, t1, o1, lo1, hi1),
-                                     (k2, p2, t2, o2, lo2, hi2),
-                                     best[0], sec_sum, "CP", True)
-                if ok:
+
+                def _unpack(combo):
+                    if isinstance(combo[1], tuple):   # rescue pair
+                        _, ak, t, opp_ri, opp_or, rlo, rhi = combo[1]
+                        anchor = (ak, cs.pool, tb_of[ak],
+                                  int(cs.cand_or[ak]), ext_lo[ak],
+                                  ext_hi[ak])
+                        resc = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                        return (anchor, resc) if opp_ri >= B \
+                            else (resc, anchor)
+                    _, k1, k2 = combo
+                    return ((k1, cs.pool, tb_of[k1], int(cs.cand_or[k1]),
+                             ext_lo[k1], ext_hi[k1]),
+                            (k2, cs.pool, tb_of[k2], int(cs.cand_or[k2]),
+                             ext_lo[k2], ext_hi[k2]))
+
+                # -k/-a: up to khits ranked pairs; secondaries get 0x100 +
+                # MAPQ 255, the primary a real MAPQ only when a second-best
+                # pair exists (unique.h:202 k-mode convention)
+                kmode = pol.all_hits or pol.khits > 1
+                npairs = len(combos) if pol.all_hits \
+                    else min(pol.khits, len(combos))
+                rank0_ok = False
+                for r in range(npairs):
+                    if r > 0 and not rank0_ok:
+                        break
+                    fmq = None
+                    if kmode:
+                        fmq = 255 if (r > 0 or sec_sum is None) else None
+                    marg1, marg2 = _unpack(combos[r])
+                    ok = self._emit_pair(st, out, cs, i, rec1, rec2,
+                                         marg1, marg2,
+                                         combos[r][0], sec_sum, "CP", True,
+                                         xs1=xs1, xs2=xs2,
+                                         secondary=r > 0, force_mq=fmq)
+                    if r == 0:
+                        rank0_ok = ok
+                if rank0_ok:
                     if len(combos) > 1:
                         st.conc_multi += 1
                     else:
                         st.conc_one += 1
                     continue
-            # discordant: both mates aligned uniquely, same ref
-            if (not pol.no_discordant and len(l1) == 1 and len(l2) == 1
-                    and cs.rid[l1[0]] == cs.rid[l2[0]]):
+            # discordant: both mates aligned uniquely (any reference;
+            # cross-chromosome pairs are discordant by construction)
+            if not pol.no_discordant and len(l1) == 1 and len(l2) == 1:
                 k1, k2 = l1[0], l2[0]
                 ok = self._emit_pair(st, out, cs, i, rec1, rec2,
                                      (k1, cs.pool, tb_of[k1],
@@ -2358,7 +2379,10 @@ class PairedAligner(BatchAligner):
                                      (k2, cs.pool, tb_of[k2],
                                       int(cs.cand_or[k2]), ext_lo[k2], ext_hi[k2]),
                                      int(scores[k1] + scores[k2]), None,
-                                     "DP", False)
+                                     "DP", False,
+                                     force_mq=255 if (pol.all_hits or
+                                                      pol.khits > 1)
+                                     else None)
                 if ok:
                     st.disc += 1
                     continue
@@ -2392,13 +2416,14 @@ class PairedAligner(BatchAligner):
         _t = _time.time()
         nslot = B2 * T
         sf = meta[:PE_SLOT_FIELDS * nslot].reshape(PE_SLOT_FIELDS, B2, T)
+        large = self._row_dtype == np.int64
         OCC = sf[0].astype(bool)
         AOK = sf[1].astype(bool)
         S = sf[2]
         OR = sf[3]
         RID = sf[4]
-        LO = sf[5].astype(np.int64)
-        HI = sf[6].astype(np.int64)
+        LO = _u32pos(sf[5]) if large else sf[5].astype(np.int64)
+        HI = _u32pos(sf[6]) if large else sf[6].astype(np.int64)
         RDEND = sf[7]
         EXACT = sf[8].astype(bool)
         HALF = sf[9].astype(bool)
@@ -2410,6 +2435,8 @@ class PairedAligner(BatchAligner):
         off += B2
         cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
         astart, ci_rid, ci_row, ci_lane, ci_score = cif
+        if large:
+            astart = _u32pos(astart)
         off += PE_CI_FIELDS * NC
         if int(meta[off]) > 0:
             # DP budget overflow: rerun on the uncapped host path (rare)
@@ -2606,11 +2633,25 @@ class PairedAligner(BatchAligner):
                     rconc[i] = ("r", int(CPOS[ari, ak_s]), t, opp_ri,
                                 opp_or, rlo, rhi, sc_sum, ari, int(ak_s))
 
+        # ---- ranked combo list per pair (top-k; default k=1 keeps the
+        # vectorized argmax result, no per-pair argsort) ----
+        khits_pe = 10**9 if pol.all_hits else max(pol.khits, 1)
+        combo_of = {}
+        for i in real[has[:B]]:
+            if khits_pe > 1 and n_kept[i] > 1:
+                fl = flatk[i]
+                kk = min(khits_pe, int(n_kept[i]))
+                ordk = np.argsort(-fl, kind="stable")[:kk]
+                combo_of[i] = [(int(o) // T, int(o) % T) for o in ordk]
+            else:
+                combo_of[i] = [(int(best_s1[i]), int(best_s2[i]))]
+
         # ---- emission backtrace of everything reported ----
         need = set()
         for i in real[has[:B]]:
-            need.add(int(CPOS[i, best_s1[i]]))
-            need.add(int(CPOS[Bp + i, best_s2[i]]))
+            for s1c, s2c in combo_of[i]:
+                need.add(int(CPOS[i, s1c]))
+                need.add(int(CPOS[Bp + i, s2c]))
         for i, rc_ in rconc.items():
             need.add(rc_[1])
         for i in real:
@@ -2633,19 +2674,33 @@ class PairedAligner(BatchAligner):
             st.pairs += 1
             st.reads += 2
             emitted = False
+            xs1 = int(S[i, sec_slot[i]]) if has_l2[i] else None
+            xs2 = int(S[Bp + i, sec_slot[Bp + i]]) \
+                if has_l2[Bp + i] else None
             if has[i]:
-                s1, s2 = int(best_s1[i]), int(best_s2[i])
-                k1 = int(CPOS[i, s1])
-                k2 = int(CPOS[Bp + i, s2])
                 sec_sum = int(sec_ss[i]) if n_kept[i] > 1 else None
-                ok = self._emit_pair(
-                    st, out, cs, i, rec1, rec2,
-                    (k1, pool, tb_of[k1], int(OR[i, s1]),
-                     int(LO[i, s1]), int(HI[i, s1])),
-                    (k2, pool, tb_of[k2], int(OR[Bp + i, s2]),
-                     int(LO[Bp + i, s2]), int(HI[Bp + i, s2])),
-                    int(best_ss[i]), sec_sum, "CP", True)
-                if ok:
+                kmode = pol.all_hits or pol.khits > 1
+                rank0_ok = False
+                for r, (s1, s2) in enumerate(combo_of[i]):
+                    if r > 0 and not rank0_ok:
+                        break
+                    k1 = int(CPOS[i, s1])
+                    k2 = int(CPOS[Bp + i, s2])
+                    fmq = None
+                    if kmode:
+                        fmq = 255 if (r > 0 or sec_sum is None) else None
+                    sc_sum_r = int(S[i, s1]) + int(S[Bp + i, s2])
+                    ok = self._emit_pair(
+                        st, out, cs, i, rec1, rec2,
+                        (k1, pool, tb_of[k1], int(OR[i, s1]),
+                         int(LO[i, s1]), int(HI[i, s1])),
+                        (k2, pool, tb_of[k2], int(OR[Bp + i, s2]),
+                         int(LO[Bp + i, s2]), int(HI[Bp + i, s2])),
+                        sc_sum_r, sec_sum, "CP", True,
+                        xs1=xs1, xs2=xs2, secondary=r > 0, force_mq=fmq)
+                    if r == 0:
+                        rank0_ok = ok
+                if rank0_ok:
                     if n_kept[i] > 1:
                         st.conc_multi += 1
                     else:
@@ -2663,16 +2718,17 @@ class PairedAligner(BatchAligner):
                     marg1 = (t, rpool, rtb[t], opp_or, rlo, rhi)
                     marg2 = (ak_ci, pool, tb_of[ak_ci], int(OR[ari, ak_s]),
                              int(LO[ari, ak_s]), int(HI[ari, ak_s]))
+                kmode = pol.all_hits or pol.khits > 1
                 ok = self._emit_pair(st, out, cs, i, rec1, rec2,
-                                     marg1, marg2, sc_sum, None, "CP", True)
+                                     marg1, marg2, sc_sum, None, "CP", True,
+                                     xs1=xs1, xs2=xs2,
+                                     force_mq=255 if kmode else None)
                 if ok:
                     st.conc_one += 1
                     continue
-            # discordant: both mates aligned uniquely, same ref
+            # discordant: both mates aligned uniquely (any reference)
             ri1, ri2 = i, Bp + i
-            if (not pol.no_discordant and nL[ri1] == 1 and nL[ri2] == 1
-                    and RID[ri1, first_slot[ri1]]
-                    == RID[ri2, first_slot[ri2]]):
+            if not pol.no_discordant and nL[ri1] == 1 and nL[ri2] == 1:
                 s1, s2 = int(first_slot[ri1]), int(first_slot[ri2])
                 k1, k2 = int(CPOS[ri1, s1]), int(CPOS[ri2, s2])
                 ok = self._emit_pair(
@@ -2681,7 +2737,9 @@ class PairedAligner(BatchAligner):
                      int(LO[ri1, s1]), int(HI[ri1, s1])),
                     (k2, pool, tb_of[k2], int(OR[ri2, s2]),
                      int(LO[ri2, s2]), int(HI[ri2, s2])),
-                    int(S[ri1, s1]) + int(S[ri2, s2]), None, "DP", False)
+                    int(S[ri1, s1]) + int(S[ri2, s2]), None, "DP", False,
+                    force_mq=255 if (pol.all_hits or pol.khits > 1)
+                    else None)
                 if ok:
                     st.disc += 1
                     continue
@@ -2743,9 +2801,17 @@ class PairedAligner(BatchAligner):
         return eff
 
     def _emit_pair(self, st, out, cs, i, rec1, rec2, m1, m2, sc_sum,
-                   sec_sum, yt, proper) -> bool:
+                   sec_sum, yt, proper, xs1=None, xs2=None,
+                   secondary=False, force_mq=None) -> bool:
         """Emit both mates of a concordant/discordant pair. Returns False if
-        a backtrace consistency check failed (caller falls through)."""
+        a backtrace consistency check failed (caller falls through).
+
+        xs1/xs2: per-mate XS:i (second-best distinct alignment of THAT mate
+        among everything found for it, reference AlnSetSumm bestUnp2 —
+        emitted on CP/DP records too, not just unpaired ones). secondary
+        sets 0x100; force_mq overrides the computed MAPQ (k-mode
+        conventions, unique.h:202: secondaries 255, primary real only when
+        a second-best pair exists)."""
         pol = self.pol
         (k1, p1, t1, o1, lo1, hi1) = m1
         (k2, p2, t2, o2, lo2, hi2) = m2
@@ -2757,7 +2823,8 @@ class PairedAligner(BatchAligner):
         # paired MAPQ: summed scores vs summed minima (unique.h paired path)
         minsum = int(cs.minsc[i] + cs.minsc[B + i])
         persum = int(cs.perfect[i] + cs.perfect[B + i]) if pol.local else 0
-        mq = self._mapq(sc_sum, sec_sum, persum, minsum, paired=True)
+        mq = force_mq if force_mq is not None else \
+            self._mapq(sc_sum, sec_sum, persum, minsum, paired=True)
 
         # TLEN: soft-clip-EXTENDED extents (reference getExtendedCoords /
         # setFragmentLength, aligner_result.h:1311-1341) — clipped bases
@@ -2777,20 +2844,30 @@ class PairedAligner(BatchAligner):
             m1_up = xl1 < xl2
         tlen1 = frag if m1_up else -frag
         tlen2 = -tlen1
+        rid1, rid2 = int(p1.rid[k1]), int(p2.rid[k2])
+        if rid1 != rid2:
+            # discordant pair across references: RNEXT names the other
+            # mate's reference and TLEN is 0 (reference sam.cpp TLEN rule
+            # for refid mismatch; pairs on different chromosomes can only
+            # be discordant)
+            tlen1 = tlen2 = 0
+        rnext1 = "=" if rid1 == rid2 else self.data.ref_names[rid2]
+        rnext2 = "=" if rid1 == rid2 else self.data.ref_names[rid1]
 
+        sec_fl = 0x100 if secondary else 0
         fl1 = FLAG_PAIRED | FLAG_MATE1 | (FLAG_PROPER if proper else 0) \
-            | (FLAG_MATE_REVERSE if o2 else 0)
+            | (FLAG_MATE_REVERSE if o2 else 0) | sec_fl
         fl2 = FLAG_PAIRED | FLAG_MATE2 | (FLAG_PROPER if proper else 0) \
-            | (FLAG_MATE_REVERSE if o1 else 0)
+            | (FLAG_MATE_REVERSE if o1 else 0) | sec_fl
         codes1, quals1 = self._oriented(cs, i, o1)
         codes2, quals2 = self._oriented(cs, B + i, o2)
         r1 = self._emit_aligned(rec1, L1, o1, codes1, quals1, p1, k1, t1,
-                                s1, None, mq, yt, fl1, "=",
-                                lo2 - int(self.data.ref_cum[int(p2.rid[k2])]) + 1,
+                                s1, xs1, mq, yt, fl1, rnext1,
+                                lo2 - int(self.data.ref_cum[rid2]) + 1,
                                 tlen1, ys=s2)
         r2 = self._emit_aligned(rec2, L2, o2, codes2, quals2, p2, k2, t2,
-                                s2, None, mq, yt, fl2, "=",
-                                lo1 - int(self.data.ref_cum[int(p1.rid[k1])]) + 1,
+                                s2, xs2, mq, yt, fl2, rnext2,
+                                lo1 - int(self.data.ref_cum[rid1]) + 1,
                                 tlen2, ys=s1)
         if r1 is None or r2 is None:
             return False
@@ -2820,7 +2897,13 @@ class PairedAligner(BatchAligner):
                 best = int(scores[best_k])
                 sec = int(scores[sec_k]) if sec_k is not None else None
                 per = int(cs.perfect[ri]) if pol.local else 0
-                mq = self._mapq(best, sec, per, int(cs.minsc[ri]))
+                # k-mode convention (unique.h:202) also covers mixed-mode
+                # records: without an observed second-best the search
+                # "didn't really look" → MAPQ 255
+                if (pol.all_hits or pol.khits > 1) and sec is None:
+                    mq = 255
+                else:
+                    mq = self._mapq(best, sec, per, int(cs.minsc[ri]))
                 orient = int(cs.cand_or[best_k])
                 codes, quals = self._oriented(cs, ri, orient)
                 rnext, pnext = ("*", 0)

@@ -252,6 +252,102 @@ CASES += [
 ]
 
 
+# Round-3 expansion #2: strand suppression, N scoring knobs, gap barrier,
+# seed-policy knobs (-L/-N/-i), presets, match bonus, PE cross-reference
+# and TLEN corners (simple_tests.pl sections "Strand", "N-policy",
+# "Presets", "Seed params", PE TLEN family).
+CASES += [
+    # --- --nofw / --norc strand suppression ---
+    dict(name="nofw kills fw read", ref=[LAMBDA60], reads=[R26], nofw=True),
+    dict(name="nofw keeps rc read", ref=[LAMBDA60],
+         reads=[_rc(R26)], nofw=True),
+    dict(name="norc kills rc read", ref=[LAMBDA60],
+         reads=[_rc(R26)], norc=True),
+    dict(name="norc keeps fw read", ref=[LAMBDA60], reads=[R26], norc=True),
+    # --- N scoring (--np / --n-ceil) ---
+    dict(name="np 0 free N", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGANAATTTTCCGG"], np=0),
+    dict(name="np 3 expensive N", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGANAATTTTCCGG"], np=3),
+    dict(name="n-ceil zero filters one N", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGANAATTTTCCGG"],
+         n_ceil=SimpleFunc.parse("C,0,0")),
+    dict(name="n-ceil generous many Ns", ref=[LAMBDA60],
+         reads=["TTNCGCTANTTATGANAATTNTCCGG"],
+         n_ceil=SimpleFunc.parse("L,0,0.5")),
+    # --- gap barrier (--gbar) ---
+    dict(name="gbar 1 allows near-end gap", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTGAAAATTTTCCGGTTTAAGGC"], gbar=1),
+    dict(name="gbar 12 pushes gap inward", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTGAAAATTTTCCGGTTTAAGGC"], gbar=12),
+    # --- seed-policy knobs ---
+    dict(name="seed len 10", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], seed_len=10),
+    dict(name="seed len 28 misses 1mm", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], seed_len=28, no_1mm=True),
+    dict(name="N 1 in-seed mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], seed_mms=1),
+    dict(name="dense seeds -i C,4,0", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"],
+         ival=SimpleFunc.parse("C,4,0")),
+    # --- presets ---
+    dict(name="preset very-fast 1mm", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], preset="very-fast"),
+    dict(name="preset fast 2mm", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGGTTTAAGGCGTATCC"], preset="fast"),
+    dict(name="preset very-sensitive 2mm", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGGTTTAAGGCGTATCC"],
+         preset="very-sensitive"),
+    dict(name="preset very-sensitive-local", ref=[LAMBDA60],
+         reads=["CCCCCC" + R26], preset="very-sensitive", local=True),
+    dict(name="preset very-fast-local", ref=[LAMBDA60],
+         reads=["CCCCCC" + R26], preset="very-fast", local=True),
+    # --- local --ma match bonus ---
+    dict(name="local ma 3", ref=[LAMBDA60],
+         reads=["CCCCCC" + R26], local=True, ma=3),
+    # xfail: the reference's SwAligner::nextAlignment can emit a SECOND
+    # local alignment from the same DP rect (distinct end cell), which
+    # feeds XS when a suboptimal cell clears minsc — our DP takes only the
+    # best cell per candidate window, so XS (and hence MAPQ) diverge when
+    # a large --ma makes weak in-rect alignments valid. Known gap
+    # (STATUS.md); not RNG-related.
+    dict(name="local ma 10 keeps mismatch", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTATGAAAATTTTCCTT"], local=True, ma=10,
+         xfail="same-rect second-alignment XS (nextAlignment)"),
+    dict(name="local score-min G,30,10", ref=[LAMBDA60],
+         reads=["CGCTATTTATGAAAATTTTC"], local=True,
+         score_min=SimpleFunc.parse("G,30,10")),
+    # --- whole-reference / boundary reads ---
+    dict(name="read equals whole ref", ref=[LAMBDA60], reads=[LAMBDA60]),
+    dict(name="read overhangs ref e2e", ref=[LAMBDA60],
+         reads=[LAMBDA60 + "ACGT"]),
+    dict(name="read overhangs ref local", ref=[LAMBDA60],
+         reads=[LAMBDA60 + "ACGT"], local=True),
+    dict(name="MD deletion at read start region", ref=[LAMBDA60],
+         reads=["GGGCGGCGACCTGCGGGTTTTCGCTATTTATGA"]),
+    # --- PE cross-reference & TLEN corners ---
+    dict(name="PE mates on different refs", ref=[REF180, REF180[::-1]],
+         pairs=[(REF180[0:32], _rc(REF180[::-1][60:92]))]),
+    dict(name="PE tlen mate1 rightmost", ref=[REF180],
+         pairs=[(_rc(REF180[68:100]), REF180[0:32])], orient="rf"),
+    dict(name="PE both mates same start", ref=[REF180],
+         pairs=[(REF180[10:42], _rc(REF180[10:42]))], maxins=32),
+    dict(name="PE k 2 distinct-score pairs",
+         ref=[SEG + FILL1 + SEG_MM + FILL2 + FILL1[::-1]],
+         pairs=[(SEG, _rc(FILL2[0:32]))], khits=2),
+    # --- quality-scale corners ---
+    dict(name="phred64 low qual mismatch", ref=[LAMBDA60],
+         reads=[("TTTCGCTATTTCTGAAAATTTTCCGG", "B" * 26)], phred64=True),
+    dict(name="mp 2,2 flat penalty", ref=[LAMBDA60],
+         reads=[("TTTCGCTATTTCTGAAAATTTTCCGG", "#" * 26)], mp=(2, 2)),
+    # --- effort knobs parsed & applied (tiny refs: no give-ups) ---
+    dict(name="-D 5 unique ref", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], effort_d=5),
+    dict(name="-R 3 unique ref", ref=[LAMBDA60],
+         reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], effort_r=3),
+]
+
+
 FIELDS = (0, 1, 2, 3, 4, 5, 6, 7, 8)   # qname..tlen
 
 
@@ -275,7 +371,10 @@ def _ref_align(case, tmp):
     subprocess.run([os.path.join(REFBIN, "bowtie2-build-s"), "-q",
                     str(fa), idx], check=True, capture_output=True)
     args = [os.path.join(REFBIN, "bowtie2-align-s"), "-x", idx, "--quiet"]
-    if case.get("local"):
+    if case.get("preset"):
+        args.append("--" + case["preset"]
+                    + ("-local" if case.get("local") else ""))
+    elif case.get("local"):
         args.append("--local")
     if case.get("orient"):
         args.append("--" + case["orient"])
@@ -309,9 +408,35 @@ def _ref_align(case, tmp):
         args += ["--rfg", f"{case['rfg'][0]},{case['rfg'][1]}"]
     if case.get("score_min"):
         f = case["score_min"]
-        args += ["--score-min", f"L,{f.const:g},{f.coeff:g}"]
+        args += ["--score-min", f"{f.type},{f.const:g},{f.coeff:g}"]
     if case.get("ignore_quals"):
         args.append("--ignore-quals")
+    if case.get("nofw"):
+        args.append("--nofw")
+    if case.get("norc"):
+        args.append("--norc")
+    if case.get("np") is not None:
+        args += ["--np", str(case["np"])]
+    if case.get("n_ceil"):
+        f = case["n_ceil"]
+        args += ["--n-ceil", f"{f.type},{f.const:g},{f.coeff:g}"]
+    if case.get("gbar"):
+        args += ["--gbar", str(case["gbar"])]
+    if case.get("seed_len"):
+        args += ["-L", str(case["seed_len"])]
+    if case.get("seed_mms"):
+        args += ["-N", str(case["seed_mms"])]
+    if case.get("no_1mm"):
+        args.append("--no-1mm-upfront")
+    if case.get("ival"):
+        f = case["ival"]
+        args += ["-i", f"{f.type},{f.const:g},{f.coeff:g}"]
+    if case.get("ma"):
+        args += ["--ma", str(case["ma"])]
+    if case.get("effort_d"):
+        args += ["-D", str(case["effort_d"])]
+    if case.get("effort_r"):
+        args += ["-R", str(case["effort_r"])]
     if case.get("trim5"):
         args += ["-5", str(case["trim5"])]
     if case.get("trim3"):
@@ -357,9 +482,22 @@ def _our_align(case):
     data = build_index_from_refs(refs)
     kw = {}
     for k in ("minins", "maxins", "ignore_quals", "khits", "all_hits",
-              "no_mixed", "no_discordant"):
+              "no_mixed", "no_discordant", "nofw", "norc", "seed_len",
+              "seed_mms", "n_ceil", "no_1mm"):
         if case.get(k):
             kw[k] = case[k]
+    if case.get("np") is not None:
+        kw["n_pen"] = case["np"]
+    if case.get("gbar"):
+        kw["gap_barrier"] = case["gbar"]
+    if case.get("ival"):
+        kw["seed_ival"] = case["ival"]
+    if case.get("ma"):
+        kw["match_bonus"] = case["ma"]
+    if case.get("effort_d"):
+        kw["fail_streak"] = case["effort_d"]
+    if case.get("effort_r"):
+        kw["seed_rounds"] = case["effort_r"]
     if case.get("khits") or case.get("all_hits"):
         kw["mhits"] = 0
     if case.get("mhits"):
@@ -382,7 +520,8 @@ def _our_align(case):
         kw["ref_gap_open"], kw["ref_gap_extend"] = case["rfg"]
     if case.get("score_min"):
         kw["score_min"] = case["score_min"]
-    pol = make_policy("sensitive", local=bool(case.get("local")), **kw)
+    pol = make_policy(case.get("preset", "sensitive"),
+                      local=bool(case.get("local")), **kw)
     t5, t3 = case.get("trim5", 0), case.get("trim3", 0)
 
     def trim(rec):
@@ -417,6 +556,8 @@ def _our_align(case):
                     reason="reference binaries not present")
 @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
 def test_simple_case(case, tmp_path):
+    if case.get("xfail"):
+        pytest.xfail(case["xfail"])
     want = _ref_align(case, tmp_path)
     got = _our_align(case)
     assert got == want

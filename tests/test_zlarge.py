@@ -31,6 +31,12 @@ def test_large_mode_matches_small(lambda_fasta, lambda_reads):
     out_s = [r.line() for r in al_s.align_batch(records)]
     al_l = UnpairedAligner(large, make_policy("sensitive"))
     out_l = [r.line() for r in al_l.align_batch(records)]
+    # large-mode device row space is uint32 (native 32-bit on TPU; int64
+    # row arithmetic is emulated and was the round-2 184x cliff) — int64
+    # rows engage only past 2^32 joined bp
+    import jax.numpy as jnp
+    assert al_l.idx.fw.fchr.dtype == jnp.uint32
+    assert al_l.idx.fw.offs.dtype == jnp.uint32
     assert out_s == out_l
 
     # raw emit path too
@@ -38,3 +44,25 @@ def test_large_mode_matches_small(lambda_fasta, lambda_reads):
     g_l = al_l.collect_raw(al_l.submit(records))
     assert [[ln for _, ln in g] for g in g_s] == \
            [[ln for _, ln in g] for g in g_l]
+
+
+def test_large_mode_pe_fused_matches_small(lambda_fasta):
+    """The fused PE path runs in large mode (round-3: it used to fall back
+    to the legacy host path) and must match the small-index output,
+    including the int32-wrapped global-position decode (_u32pos)."""
+    from bowtie2_tpu.pipeline.align import PairedAligner
+    r1 = list(itertools.islice(
+        iter_reads("/root/reference/example/reads/reads_1.fq"), 192))
+    r2 = list(itertools.islice(
+        iter_reads("/root/reference/example/reads/reads_2.fq"), 192))
+    pairs = list(zip(r1, r2))
+    small = build_index(lambda_fasta)
+    large = build_index(lambda_fasta, large=True)
+    pol = make_policy("sensitive")
+    out_s = [r.line() for r in PairedAligner(small, pol).align_batch(pairs)]
+    al_l = PairedAligner(large, pol)
+    fb = al_l.submit(pairs)
+    assert not (isinstance(fb, tuple) and fb[0] == "host"), \
+        "large mode must use the fused PE path"
+    out_l = [r.line() for r in al_l.collect(fb)]
+    assert out_s == out_l
