@@ -117,9 +117,26 @@ def _probe_backend(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def _host_tag() -> str:
+    """Host fingerprint for the compile-cache path: XLA:CPU AOT blobs are
+    machine-feature-specific but the cache key omits the features — a blob
+    compiled on another host SIGABRTs at load (observed round 3)."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.node() or "unknown"
+
+
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/bowtie2_tpu/jax"))
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/bowtie2_tpu/jax-" + _host_tag()))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     backend_note = None
     if not _probe_backend():

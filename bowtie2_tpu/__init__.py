@@ -21,11 +21,31 @@ import os as _os
 # user's env path when present, else a per-user default.
 import jax as _jax
 
+
+def _host_tag() -> str:
+    """XLA:CPU AOT cache blobs bake in the compile machine's CPU features
+    but the cache key omits them — loading a blob compiled on a different
+    host SIGABRTs (observed round 3). Default cache paths are therefore
+    host-fingerprinted; an explicit JAX_COMPILATION_CACHE_DIR is honored
+    as-is."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.node() or "unknown"
+
+
 if _jax.config.jax_compilation_cache_dir is None:
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                        _os.path.expanduser("~/.cache/bowtie2_tpu/jax")))
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/bowtie2_tpu/jax-" + _host_tag())))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def _warm_device_link() -> None:

@@ -115,6 +115,15 @@ def _build_align_parser():
                     help="comma-separated opt-field toggles, '-' prefix "
                          "disables (e.g. '-md,-xs'; sam.h "
                          "parseSamPrintFlags)")
+    ap.add_argument("--soft-clipped-unmapped-tlen", dest="sc_unmapped_tlen",
+                    action="store_true",
+                    help="local mode only: soft-clipped bases count as "
+                         "unmapped for TLEN (reference ARG_SC_UNMAPPED)")
+    ap.add_argument("--sam-xt", dest="sam_xt", action="store_true",
+                    help="XT:i elapsed-microseconds opt field; on this "
+                         "batched pipeline the value is the device batch "
+                         "time amortized per read (the reference's is "
+                         "per-read wall time)")
     ap.add_argument("-D", dest="fail_streak", type=int, default=None)
     ap.add_argument("-R", dest="seed_rounds", type=int, default=None)
     # paired-end
@@ -209,9 +218,14 @@ def cmd_align(argv):
                        ("no_mixed", "no_mixed"),
                        ("no_discordant", "no_discordant"),
                        ("no_1mm_upfront", "no_1mm"), ("xeq", "xeq"),
+                       ("sam_xt", "sam_xt"),
+                       ("sc_unmapped_tlen", "sc_unmapped_tlen"),
                        ("ignore_quals", "ignore_quals")):
         if getattr(args, flag):
             overrides[attr] = True
+    if args.sc_unmapped_tlen and not args.local:
+        ap.error("--soft-clipped-unmapped-tlen can only be set for local "
+                 "alignments")
     overrides["minins"] = args.minins
     overrides["maxins"] = args.maxins
     if args.orient:
@@ -290,7 +304,7 @@ def cmd_align(argv):
                 sam_cfg[tok[1:].lower()] = False
             else:
                 sam_cfg[tok.lower()] = True
-    raw_mode = not paired and sam_cfg is None
+    raw_mode = not paired and sam_cfg is None and not args.sam_xt
     rg_suffix = f"\tRG:Z:{args.rg_id}".encode() if args.rg_id else b""
 
     if not args.unpaired and not paired and not args.bam:
@@ -418,6 +432,7 @@ def cmd_align(argv):
 
         def _drain():
             chunk, h = pend.popleft()
+            _t0 = time.time()
             if raw_mode:
                 outs = aligner.collect_raw(h, rg_suffix)
             elif paired:
@@ -439,6 +454,14 @@ def cmd_align(argv):
                     outs.append(grp)
             if met_sink:
                 met_sink.maybe_report()
+            if args.sam_xt and not raw_mode:
+                # XT:i elapsed-us (reference bt2_search.cpp:3305 per-read
+                # wall time): on this batched pipeline the collect wall
+                # time is amortized over the batch's reads
+                xt_us = int((time.time() - _t0) * 1e6 / max(len(chunk), 1))
+                for rec_out in outs:
+                    for r in rec_out:
+                        r.opts.append(("XT", "i", xt_us))
             for j, rec_out in zip(chunk, outs):
                 results[j] = rec_out
 

@@ -13,8 +13,10 @@ sharing). The TPU-native equivalent (SURVEY.md §2.10 mapping):
     reproduces the single-host byte stream (the reference's --reorder
     contract, outq.h:38).
 
-Genomes larger than HBM would shard the BWT/occ blocks over the mesh with
-collective lookups; that mode is future work (tracked in SURVEY §7).
+Genomes larger than HBM shard the BWT/occ/ref tables over a `shard` mesh
+axis with owner-computes + psum gathers — see dist/sharded.py
+(UnpairedAligner(shard_mesh=...), byte-identical to the replicated path,
+tests/test_shardidx.py).
 """
 
 from typing import Optional

@@ -46,6 +46,46 @@ _LANE = jnp.arange(OCC_BLOCK, dtype=jnp.int32)
 _CRUMB_SHIFTS = 2 * jnp.arange(16, dtype=jnp.uint32)
 _CHARS4 = jnp.arange(4, dtype=jnp.int32)
 
+# mesh axis name used by the sharded (> HBM) index mode: inside shard_map
+# every index table holds only this device's block/rank range and gathers
+# are owner-computes + psum over this axis (dist/sharded.py)
+SHARD_AXIS = "shard"
+
+
+def _take_sharded(table: jnp.ndarray, idx: jnp.ndarray, lo: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Owner-computes gather from a leading-axis-sharded table.
+
+    table: this shard's rows (any trailing shape); idx: GLOBAL row ids
+    (any shape); lo: (1,) this shard's first global row. Every device
+    gathers its in-range rows (others contribute zeros) and a psum over
+    SHARD_AXIS assembles the full answer — the TPU-native replacement for
+    the reference's single-node shared-memory index (mm.h/shmem.h) once a
+    genome no longer fits one chip's HBM."""
+    loc = (idx - lo[0]).astype(jnp.int32)
+    n_local = table.shape[0]
+    inb = (loc >= 0) & (loc < n_local)
+    rows = jnp.take(table, jnp.clip(loc, 0, n_local - 1), axis=0)
+    mask = inb.reshape(inb.shape + (1,) * (rows.ndim - inb.ndim))
+    rows = jnp.where(mask, rows, jnp.zeros((), rows.dtype))
+    return jax.lax.psum(rows, SHARD_AXIS)
+
+
+def _rows(half, table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather block rows: direct take on a replicated index, owner-computes
+    + psum when `half` is a ShardedFMHalf (blk_lo present)."""
+    lo = getattr(half, "blk_lo", None)
+    if lo is None:
+        return jnp.take(table, idx, axis=0)
+    return _take_sharded(table, idx, lo)
+
+
+def _take_offs(half, rank: jnp.ndarray) -> jnp.ndarray:
+    lo = getattr(half, "off_lo", None)
+    if lo is None:
+        return jnp.take(half.offs, rank)
+    return _take_sharded(half.offs, rank, lo)
+
 
 def _crumbs(block_rows: jnp.ndarray) -> jnp.ndarray:
     """(B, 8) uint32-pattern words → (B, 128) int32 2-bit crumbs."""
@@ -69,13 +109,13 @@ def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     c: (B,) int32. Block count fits int32 for any realistic genome, so the
     gathers stay int32-indexed even in the int64 (large-index) mode."""
     block = (i // OCC_BLOCK).astype(jnp.int32)
-    words = jnp.take(half.bwt_blocks, block, axis=0)          # (B, 8)
+    words = _rows(half, half.bwt_blocks, block)               # (B, 8)
     crumbs = _crumbs(words)
     pos = (i - block.astype(i.dtype) * OCC_BLOCK).astype(jnp.int32)
     inb = jnp.sum(((crumbs == c[:, None]) &
                    (_LANE[None, :] < pos[:, None])
                    ).astype(jnp.int32), axis=1, dtype=jnp.int32)
-    cps = jnp.take(half.occ_cp, block, axis=0)                # (B, 4)
+    cps = _rows(half, half.occ_cp, block)                     # (B, 4)
     cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cps,
                            jnp.zeros((), half.row_dtype)), axis=1,
                  dtype=half.row_dtype)
@@ -89,7 +129,7 @@ def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     """(B, 4) occurrence counts of every char in bwt[0:i). i: (B,)."""
     block = (i // OCC_BLOCK).astype(jnp.int32)
-    words = jnp.take(half.bwt_blocks, block, axis=0)
+    words = _rows(half, half.bwt_blocks, block)
     crumbs = _crumbs(words)
     pos = (i - block.astype(i.dtype) * OCC_BLOCK).astype(jnp.int32)
     mask = _LANE[None, :] < pos[:, None]
@@ -97,7 +137,7 @@ def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1,
                   dtype=jnp.int32)
     corr = jnp.where((_CHARS4[None, :] == 0) & (i > half.z_off)[:, None], 1, 0)
-    return jnp.take(half.occ_cp, block, axis=0) \
+    return _rows(half, half.occ_cp, block) \
         + (cnt - corr).astype(half.row_dtype)
 
 
@@ -344,7 +384,7 @@ _BIT_SHIFTS = jnp.arange(32, dtype=jnp.uint32)
 
 def _mark_bits(half: FMHalf, block: jnp.ndarray) -> jnp.ndarray:
     """(B,) block ids → (B, 128) int32 0/1 mark bits."""
-    words = jnp.take(half.mark_blocks, block, axis=0)         # (B, 4)
+    words = _rows(half, half.mark_blocks, block)              # (B, 4)
     bits = (words[:, :, None] >> _BIT_SHIFTS[None, None, :]) & jnp.uint32(1)
     return bits.reshape(-1, OCC_BLOCK).astype(jnp.int32)
 
@@ -360,8 +400,8 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
         row, steps, done = carry
         block = (row // OCC_BLOCK).astype(jnp.int32)
         pos = (row - block.astype(rdt) * OCC_BLOCK).astype(jnp.int32)
-        words = jnp.take(half.bwt_blocks, block, axis=0)    # (B, 8)
-        cps = jnp.take(half.occ_cp, block, axis=0)          # (B, 4)
+        words = _rows(half, half.bwt_blocks, block)         # (B, 8)
+        cps = _rows(half, half.occ_cp, block)               # (B, 4)
         crumbs = _crumbs(words)                             # (B, 128)
         at = (_LANE[None, :] == pos[:, None])
         c = jnp.sum(jnp.where(at, crumbs, 0), axis=1,
@@ -391,5 +431,5 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
     bits = _mark_bits(half, block)
     inb = jnp.sum(bits * (_LANE[None, :] < pos[:, None]), axis=1,
                   dtype=jnp.int32)
-    rank = jnp.take(half.mark_cp, block) + inb
-    return jnp.take(half.offs, rank) + steps.astype(rdt)
+    rank = _rows(half, half.mark_cp, block) + inb
+    return _take_offs(half, rank) + steps.astype(rdt)

@@ -11,9 +11,31 @@ with their N stretches included; see index/build.py IndexData).
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+class ShardedWords(NamedTuple):
+    """A 1-D word table sharded over the mesh's `shard` axis (the > HBM
+    index mode, dist/sharded.py). Inside shard_map each device holds
+    `words` = its contiguous slice and `lo` = (1,) its first global word
+    index; gathers are owner-computes + psum (ops/fm.py _take_sharded)."""
+    words: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def _take_words(table, idx: jnp.ndarray) -> jnp.ndarray:
+    """Word gather that accepts a replicated array or ShardedWords.
+
+    idx is GLOBAL and may run past either end (windows near reference
+    edges); out-of-range rows return 0 words, whose decoded codes are
+    masked to 5 by the callers' [lo, hi) position checks."""
+    if isinstance(table, ShardedWords):
+        from bowtie2_tpu.ops.fm import _take_sharded
+        return _take_sharded(table.words, idx, table.lo)
+    return jnp.take(table, jnp.clip(idx, 0, table.shape[0] - 1), axis=0)
 
 
 @partial(jax.jit, static_argnames=("width",))
@@ -83,7 +105,6 @@ def gather_windows_aligned(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
     the rect column span are code 5.
     """
     Wa = aligned_width(width)
-    n_words = ref_words.shape[0]
     # signed &~31 rounds toward -inf, so col_shift stays in [0, 32) even
     # for windows starting before the reference (those columns go oob).
     # starts may be int64 (large indexes); word indices always fit int32.
@@ -91,18 +112,16 @@ def gather_windows_aligned(ref_words: jnp.ndarray, refn_words: jnp.ndarray,
     col_shift = (starts - astart).astype(jnp.int32)         # 0..31
     nw = Wa // 16
     wstart = (astart >> 4).astype(jnp.int32)
-    widx = jnp.clip(wstart[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
-                    0, n_words - 1)
-    words = jnp.take(ref_words, widx, axis=0)               # (B, nw)
+    widx = wstart[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    words = _take_words(ref_words, widx)                    # (B, nw)
     code = ((words[:, :, None]
              >> (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :])
             & jnp.uint32(3)).astype(jnp.int32).reshape(-1, Wa)
 
     nn = Wa // 32
-    nidx = jnp.clip((astart >> 5).astype(jnp.int32)[:, None]
-                    + jnp.arange(nn, dtype=jnp.int32)[None, :],
-                    0, refn_words.shape[0] - 1)
-    nwords = jnp.take(refn_words, nidx, axis=0)
+    nidx = (astart >> 5).astype(jnp.int32)[:, None] \
+        + jnp.arange(nn, dtype=jnp.int32)[None, :]
+    nwords = _take_words(refn_words, nidx)
     nbits = ((nwords[:, :, None]
               >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
              & jnp.uint32(1)).astype(jnp.int32).reshape(-1, Wa)

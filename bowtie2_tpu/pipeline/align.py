@@ -261,16 +261,29 @@ class BatchAligner:
     MAX_EXACT_ROWS = 4      # rows resolved per exact-hit range per orientation
     NC_PER_READ = 16        # candidate extension budget per read (~ -D/maxIters)
 
-    def __init__(self, data: IndexData, policy: Policy, mesh=None):
+    def __init__(self, data: IndexData, policy: Policy, mesh=None,
+                 shard_mesh=None):
         """mesh: optional jax.sharding.Mesh with a "data" axis — the index
         is replicated onto every device and all batch-leading device arrays
         are sharded over it (the reference's parallelism is threads over
         reads with one shared read-only index, bt2_search.cpp:4874; here
-        the "threads" are TPU chips). Batch sizes must divide the axis."""
+        the "threads" are TPU chips). Batch sizes must divide the axis.
+
+        shard_mesh: optional Mesh with a "shard" axis — the > HBM index
+        mode: FM/ref tables are SPLIT over the axis with owner-computes +
+        psum gathers (dist/sharded.py) instead of replicated. The fused SE
+        pipeline runs under shard_map; host fallback paths still use the
+        replicated copy (fine below HBM scale, where this mode is only
+        exercised for testing)."""
         self.data = data
         self.pol = policy
         self.mesh = mesh
         self.idx = FMIndex.from_host(data)
+        self.shard_mesh = shard_mesh
+        self._shard_fns = {}
+        if shard_mesh is not None:
+            from bowtie2_tpu.dist.sharded import shard_index
+            self.sidx = shard_index(data, shard_mesh)
         if mesh is not None:
             from bowtie2_tpu.dist.mesh import replicate_index
             self.idx = replicate_index(self.idx, mesh)
@@ -1397,17 +1410,31 @@ class UnpairedAligner(BatchAligner):
         jboth = self._put(both).astype(jnp.int32)
         jquals = self._put(np.concatenate([qu, qu_r], axis=0)).astype(jnp.int32)
         live_or = self._live_orient(Bp, paired=False)
-        res = fused_se(
-            self.idx.fw, self.idx.ref_words, self.idx.refn_words, self.seg,
-            jboth, jquals, self._put(lens),
-            self._put(offs_all), self._put(valid_all),
-            self._put(minsc.astype(np.int32)), self._put(live),
-            None if live_or is None else self._put(live_or),
+        statics = dict(
             params=pol.sw_params(), band=G, seed_len=pol.seed_len,
             ftab_chars=self.data.fw.ftab_chars,
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
             period=1 << self.data.off_rate, T=T, kk=kk, kk_bt=kk_bt,
             NC=NC, n1=pol.seed_mms >= 1, no_1mm=getattr(pol, "no_1mm", False))
+        if self.shard_mesh is not None:
+            key = tuple(sorted(statics.items()))
+            if key not in self._shard_fns:
+                from bowtie2_tpu.dist.sharded import make_fused_se_sharded
+                self._shard_fns[key] = make_fused_se_sharded(
+                    self.shard_mesh, **statics)
+            res = self._shard_fns[key](
+                self.sidx, self.seg, jboth, jquals, self._put(lens),
+                self._put(offs_all), self._put(valid_all),
+                self._put(minsc.astype(np.int32)), self._put(live),
+                None if live_or is None else self._put(live_or))
+        else:
+            res = fused_se(
+                self.idx.fw, self.idx.ref_words, self.idx.refn_words,
+                self.seg, jboth, jquals, self._put(lens),
+                self._put(offs_all), self._put(valid_all),
+                self._put(minsc.astype(np.int32)), self._put(live),
+                None if live_or is None else self._put(live_or),
+                **statics)
         self.metrics.add(
             t_search=_time.time() - _t, bases=int(lens[:B].sum()),
             unpaired=B, unf_reads=int((~filtered[:B]).sum()),
@@ -2832,10 +2859,17 @@ class PairedAligner(BatchAligner):
         # broken by strand (fw over rc) and mate-1 for --ff. Classification
         # above used the plain extents (aligner_sw_driver.cpp:2382
         # refExtent), matching the reference.
-        xl1 = lo1 - t1[1]["read_start"]
-        xh1 = hi1 + (L1 - (int(p1.rows_end[k1]) + 1))
-        xl2 = lo2 - t2[1]["read_start"]
-        xh2 = hi2 + (L2 - (int(p2.rows_end[k2]) + 1))
+        if pol.sc_unmapped_tlen:
+            # --soft-clipped-unmapped-tlen: clipped bases count as
+            # unmapped, so TLEN uses the PLAIN alignment extents
+            # (getExtendedCoords skips the trim adjustment when
+            # flags.scUnMapped(), aligner_result.h:901)
+            xl1, xh1, xl2, xh2 = lo1, hi1, lo2, hi2
+        else:
+            xl1 = lo1 - t1[1]["read_start"]
+            xh1 = hi1 + (L1 - (int(p1.rows_end[k1]) + 1))
+            xl2 = lo2 - t2[1]["read_start"]
+            xh2 = hi2 + (L2 - (int(p2.rows_end[k2]) + 1))
         frag = max(xh1, xh2) - min(xl1, xl2) + 1
         fw1, fw2 = o1 == 0, o2 == 0
         if xl1 == xl2:

@@ -109,6 +109,12 @@ class Policy:
     dovetail_ok: bool = False
     nofw: bool = False
     norc: bool = False
+    # --soft-clipped-unmapped-tlen (local only): TLEN from plain alignment
+    # extents instead of soft-clip-extended coords (aligner_result.h:901)
+    sc_unmapped_tlen: bool = False
+    # --sam-xt: XT:i elapsed-us opt field (batch-amortized analog of the
+    # reference's per-read timing, bt2_search.cpp:3305)
+    sam_xt: bool = False
 
     def sw_params(self) -> SWParams:
         return SWParams(

@@ -18,7 +18,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# The persistent cache stores XLA:CPU AOT executables whose machine
+# features are NOT part of the cache key — loading a blob compiled on a
+# different host SIGABRTs mid-suite (observed round 3). Scope the cache
+# dir by a host fingerprint so each machine gets its own cache.
+def _host_tag():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.node() or "unknown"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/root/repo/.jax_cache/{_host_tag()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np  # noqa: E402

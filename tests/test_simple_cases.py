@@ -345,6 +345,13 @@ CASES += [
          reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], effort_d=5),
     dict(name="-R 3 unique ref", ref=[LAMBDA60],
          reads=["TTTCGCTATTTCTGAAAATTTTCCGG"], effort_r=3),
+    # --soft-clipped-unmapped-tlen: clipped bases unmapped w/r/t TLEN
+    dict(name="sc-unmapped-tlen local PE", ref=[REF180],
+         pairs=[("CCCC" + REF180[0:28], _rc(REF180[68:100]))], local=True,
+         sc_unmapped=True),
+    dict(name="sc-unmapped-tlen both clipped", ref=[REF180],
+         pairs=[("CCCC" + REF180[0:28], _rc(REF180[68:96]) + "GGGG")],
+         local=True, sc_unmapped=True),
 ]
 
 
@@ -437,6 +444,8 @@ def _ref_align(case, tmp):
         args += ["-D", str(case["effort_d"])]
     if case.get("effort_r"):
         args += ["-R", str(case["effort_r"])]
+    if case.get("sc_unmapped"):
+        args.append("--soft-clipped-unmapped-tlen")
     if case.get("trim5"):
         args += ["-5", str(case["trim5"])]
     if case.get("trim3"):
@@ -498,6 +507,8 @@ def _our_align(case):
         kw["fail_streak"] = case["effort_d"]
     if case.get("effort_r"):
         kw["seed_rounds"] = case["effort_r"]
+    if case.get("sc_unmapped"):
+        kw["sc_unmapped_tlen"] = True
     if case.get("khits") or case.get("all_hits"):
         kw["mhits"] = 0
     if case.get("mhits"):
