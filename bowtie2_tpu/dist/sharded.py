@@ -166,3 +166,31 @@ def make_fused_se_sharded(mesh: Mesh, **static_kwargs):
         in_specs=(sharded_in_specs(), r, r, r, r, r, r, r, r, r),
         out_specs=r, check_vma=False)
     return jax.jit(f)
+
+
+def make_fused_pe_sharded(mesh: Mesh, **static_kwargs):
+    """jit(shard_map(fused_pe)): the PE search half of the pipeline over a
+    sharded index. All five FusedPEResult leaves (metadata blob + the
+    direction/read/window device handles kept for the emission backtrace)
+    come out replicated; the host pairing/emission layers are unchanged.
+    (Mate-rescue DP windows on the host side still gather from the
+    replicated copy — at true > HBM scale rescue would need the sharded
+    gather too; below that this mode is exercised for correctness.)"""
+    from jax import shard_map
+
+    from bowtie2_tpu.ops.fused import fused_pe
+
+    r = P()
+
+    def body(sidx, seg_, jboth, jquals, lens, offs_all, valid_all, minsc,
+             live_read, live_or):
+        return fused_pe.__wrapped__(
+            sidx.fw, sidx.ref_words, sidx.refn_words, seg_, jboth, jquals,
+            lens, offs_all, valid_all, minsc, live_read, live_or,
+            **static_kwargs)
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(sharded_in_specs(), r, r, r, r, r, r, r, r, r),
+        out_specs=r, check_vma=False)
+    return jax.jit(f)

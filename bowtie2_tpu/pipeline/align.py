@@ -2148,18 +2148,28 @@ class PairedAligner(BatchAligner):
         jquals = self._put(np.concatenate([qu, qu_r], axis=0)
                            ).astype(jnp.int32)
         live_or = self._live_orient(B2, paired=True)
-        res = fused_pe(
-            self.idx.fw, self.idx.ref_words, self.idx.refn_words, self.seg,
-            jboth, jquals, self._put(lens),
-            self._put(offs_all), self._put(valid_all),
-            self._put(minsc.astype(np.int32)), self._put(live),
-            None if live_or is None else self._put(live_or),
+        statics = dict(
             params=pol.sw_params(), band=G, seed_len=pol.seed_len,
             ftab_chars=self.data.fw.ftab_chars,
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
             period=1 << self.data.off_rate, T=T,
             NC=NC, n1=pol.seed_mms >= 1,
             no_1mm=getattr(pol, "no_1mm", False))
+        batch_args = (jboth, jquals, self._put(lens),
+                      self._put(offs_all), self._put(valid_all),
+                      self._put(minsc.astype(np.int32)), self._put(live),
+                      None if live_or is None else self._put(live_or))
+        if self.shard_mesh is not None:
+            key = ("pe",) + tuple(sorted(statics.items()))
+            if key not in self._shard_fns:
+                from bowtie2_tpu.dist.sharded import make_fused_pe_sharded
+                self._shard_fns[key] = make_fused_pe_sharded(
+                    self.shard_mesh, **statics)
+            res = self._shard_fns[key](self.sidx, self.seg, *batch_args)
+        else:
+            res = fused_pe(self.idx.fw, self.idx.ref_words,
+                           self.idx.refn_words, self.seg, *batch_args,
+                           **statics)
         self.metrics.add(t_search=_time.time() - _t)
         return FusedPEBatch(
             pairs=pairs, B=B, Bp=Bp, B2=B2, Lmax=Lmax, T=T, NC=NC, G=G,

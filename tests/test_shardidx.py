@@ -39,3 +39,20 @@ def test_sharded_index_matches_replicated(lambda_fasta, lambda_reads,
     assert al.sidx.fw.bwt_blocks.sharding.num_devices == nshards
     got = [r.line() for r in al.align_batch(records)]
     assert got == want
+
+
+def test_sharded_index_pe_matches_replicated(lambda_fasta, lambda_reads):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from bowtie2_tpu.pipeline.align import PairedAligner
+    r1 = list(itertools.islice(iter_reads(lambda_reads), 128))
+    r2 = list(itertools.islice(
+        iter_reads(lambda_reads.replace("reads_1", "reads_2")), 128))
+    pairs = list(zip(r1, r2))
+    data = build_index(lambda_fasta)
+    pol = make_policy("sensitive")
+    want = [r.line() for r in PairedAligner(data, pol).align_batch(pairs)]
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    got = [r.line() for r in PairedAligner(data, pol, shard_mesh=mesh)
+           .align_batch(pairs)]
+    assert got == want
