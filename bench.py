@@ -200,6 +200,8 @@ def main():
     # ---- deadline-guarded extras (stderr + BENCH_EXTRA.json only) ----
     extra = {"lambda_se_reads_per_sec": round(rps, 1),
              "lambda_se_vs_baseline": round(rps / REF_READS_PER_SEC, 4)}
+    if backend_note:
+        extra["backend"] = backend_note
 
     def save_extra():
         print(json.dumps(extra), file=sys.stderr, flush=True)
