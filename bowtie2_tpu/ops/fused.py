@@ -325,10 +325,18 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
         half, slot_row.reshape(-1), period=period
     ).reshape(B, T).astype(seg.seg_joined_start.dtype)
 
-    # straddle filter: matched stretch must stay inside one segment
+    # straddle filter: matched stretch must stay inside one segment; for
+    # half-read (1mm-upfront) slots the FULL read span must fit, since the
+    # reference's oneMmSearch hits span the whole read in the N-excised
+    # joined text (aligner_seed.cpp:975; straddles discarded by
+    # joinedToTextOff)
     segi = jnp.searchsorted(seg.seg_joined_start, jpos, side="right") - 1
     seg_ok = jpos + slot_mlen <= jnp.take(seg.seg_end_joined, segi)
-    slot_valid &= seg_ok
+    r0 = jpos - slot_off.astype(jpos.dtype)
+    full_ok = (r0 >= jnp.take(seg.seg_joined_start, segi)) & \
+        (r0 + lens[:, None].astype(jpos.dtype)
+         <= jnp.take(seg.seg_end_joined, segi))
+    slot_valid &= seg_ok & (~slot_half | full_ok)
     gpos = jnp.take(seg.seg_global_start, segi) + \
         (jpos - jnp.take(seg.seg_joined_start, segi))
     anchor = gpos - slot_off.astype(gpos.dtype)

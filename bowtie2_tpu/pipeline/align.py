@@ -521,6 +521,15 @@ class BatchAligner:
         seg = np.searchsorted(self.data.seg_joined_start, jpos,
                               side="right") - 1
         ok = jpos + cand_mlen <= self._seg_end_joined[seg]
+        # half-read (1mm-upfront) hits emulate oneMmSearch, whose hits span
+        # the FULL read in the reference's N-excised joined text
+        # (aligner_seed.cpp:975; straddles discarded by joinedToTextOff) —
+        # so the whole read's joined extent must fit one segment, not just
+        # the exact-matched half.
+        r0 = jpos - cand_off
+        full_ok = (r0 >= self.data.seg_joined_start[seg]) & \
+                  (r0 + lens[cand_read] <= self._seg_end_joined[seg])
+        ok &= ~cand_half | full_ok
         (cand_read, cand_or, cand_off, cand_exact, cand_half, cand_rangej,
          cand_rwidth, jpos, seg) = (
             a[ok] for a in (cand_read, cand_or, cand_off, cand_exact,

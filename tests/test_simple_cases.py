@@ -355,6 +355,52 @@ CASES += [
 ]
 
 
+# Round-3 expansion #3: reference-N handling, short reads/refs, PE trims
+# (simple_tests.pl "N in ref", "Short", PE trimming sections).
+REF_N_MID = LAMBDA60[:30] + "N" + LAMBDA60[31:]
+REF_N_RUN = LAMBDA60[:25] + "NNNNN" + LAMBDA60[30:]
+CASES += [
+    # --- N in the reference (XN:i counts, np applies to ref Ns too) ---
+    dict(name="ref N under read", ref=[REF_N_MID],
+         reads=[LAMBDA60[10:40]]),
+    dict(name="ref N run under read", ref=[REF_N_RUN],
+         reads=[LAMBDA60[15:45]]),
+    dict(name="ref N np 0", ref=[REF_N_MID],
+         reads=[LAMBDA60[10:40]], np=0),
+    dict(name="ref N local clips around", ref=[REF_N_MID],
+         reads=[LAMBDA60[10:40]], local=True),
+    dict(name="ref N n-ceil zero", ref=[REF_N_MID],
+         reads=[LAMBDA60[10:40]], n_ceil=SimpleFunc.parse("C,0,0")),
+    # --- short reads / short references ---
+    dict(name="read shorter than seed", ref=[LAMBDA60],
+         reads=[LAMBDA60[20:35]]),
+    dict(name="read shorter than seed local", ref=[LAMBDA60],
+         reads=[LAMBDA60[20:35]], local=True),
+    dict(name="read of 8bp", ref=[LAMBDA60], reads=[LAMBDA60[12:20]]),
+    dict(name="ref shorter than read", ref=[LAMBDA60[:20]],
+         reads=[LAMBDA60[:30]]),
+    dict(name="ref shorter than read local", ref=[LAMBDA60[:20]],
+         reads=[LAMBDA60[:30]], local=True),
+    dict(name="tiny ref exact", ref=[LAMBDA60[:24]],
+         reads=[LAMBDA60[:24]]),
+    # --- PE trimming + orientation corners ---
+    dict(name="PE trim5 both mates", ref=[REF180],
+         pairs=[("ACGT" + REF180[0:28], "ACGT" + _rc(REF180[68:96]))],
+         trim5=4),
+    dict(name="PE trim3 both mates", ref=[REF180],
+         pairs=[(REF180[0:28] + "ACGT", _rc(REF180[68:96]) + "ACGT")],
+         trim3=4),
+    dict(name="PE both mates rc discordant", ref=[REF180],
+         pairs=[(_rc(REF180[0:32]), _rc(REF180[68:100]))]),
+    dict(name="PE fr swapped strands", ref=[REF180],
+         pairs=[(_rc(REF180[68:100]), REF180[0:32])], orient="fr"),
+    dict(name="PE k 2 unique pair", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], khits=2),
+    dict(name="PE a unique pair", ref=[REF180],
+         pairs=[(REF180[0:32], _rc(REF180[68:100]))], all_hits=True),
+]
+
+
 FIELDS = (0, 1, 2, 3, 4, 5, 6, 7, 8)   # qname..tlen
 
 
