@@ -557,13 +557,13 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
 
 # number of per-slot scalar fields in the fused-PE metadata export (host
 # decode must match pipeline/align.py PairedAligner._collect_fused)
-PE_SLOT_FIELDS = 13
+PE_SLOT_FIELDS = 14
 # per-compact-candidate fields exported for DPPool reconstruction
 PE_CI_FIELDS = 5
 
 
 class FusedPEResult(NamedTuple):
-    blob: jnp.ndarray      # int32 (PE_SLOT_FIELDS*B*T + B + PE_CI_FIELDS*NC
+    blob: jnp.ndarray      # int32 (PE_SLOT_FIELDS*B*T + 2*B + PE_CI_FIELDS*NC
                            #        + 1,) — ONE device->host transfer
     dirs: jnp.ndarray      # device handles kept for the emission backtrace
     jreads_c: jnp.ndarray
@@ -624,15 +624,24 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
         jnp.sum(cx["flat_valid"].astype(jnp.int32), dtype=jnp.int32) - NC,
         0)[None]
 
+    # per-slot ungapped anchor-diagonal mismatch count: under the PE
+    # zero-seed-round suppression (bt2_search.cpp:3948 `break`) only
+    # 1mm-upfront-discoverable half candidates (<= 1 mm) survive
+    mmug = scat(cx["mm_ug"])
     slot_fields = [
         cx["slot_valid"], aok.astype(bool), score, cx["slot_or"],
         cx["rid"], lo, hi, rdend, cx["agg_exact"], cx["agg_half"],
-        cx["slot_rangej"], cx["slot_rwidth"], cpos]
+        cx["slot_rangej"], cx["slot_rwidth"], cpos, mmug]
     ci_fields = [cx["astart"], cx["c_rid"], res.row, res.lane,
                  cx["c_score"]]
     blob = jnp.concatenate(
         [f.astype(jnp.int32).reshape(-1) for f in slot_fields]
         + [ee_read.astype(jnp.int32)]
+        # per-read count of round-0 seeds with a nonzero SA range: the
+        # reference's rounds loop `break`s (skipping the OTHER mate's seed
+        # search) when the first mate's searchAllSeeds comes up empty
+        # (bt2_search.cpp:3968-3971), not only when instantiation fails
+        + [cx["seed_nz"].astype(jnp.int32)]
         + [f.astype(jnp.int32).reshape(-1) for f in ci_fields]
         + [n_dropped])
     return FusedPEResult(blob, res.dirs, cx["jreads_c"], cx["jquals_c"],

@@ -2263,7 +2263,10 @@ class PairedAligner(BatchAligner):
         # ---- -D fail-streak effort model (pe_effort.py) ----
         # seed-round suppression: mate with fewer exact-sweep elements
         # anchors first (bt2_search.cpp:3537-3541); if it instantiates no
-        # N-free seeds the round's `break` skips the other mate's seeding
+        # N-free seeds (bt2_search.cpp:3948) OR its seed search finds no
+        # SA ranges at all (:3968), the round's `break` skips the other
+        # mate's seeding — and PE's halved round count (1 under -R 2)
+        # means no seed phase for that mate at all
         B2 = 2 * B
         ee = cs.ee_elts[:B2] + cs.ee_elts[B2:]
         inst = cs.inst0[:B2] + cs.inst0[B2:]
@@ -2274,7 +2277,7 @@ class PairedAligner(BatchAligner):
             n1, n2_ = int(ee[i]), int(ee[B + i])
             first, second = ((B + i, i) if (n1 > 0 and n2_ > 0 and n1 > n2_)
                              else (i, B + i))
-            if inst[first] == 0:
+            if inst[first] == 0 or cs.seed_nz[first] == 0:
                 suppress[second] = True
                 suppress[first] = True
         eff = self._pe_effort_sets(cs, succ_cross, suppress)
@@ -2476,8 +2479,11 @@ class PairedAligner(BatchAligner):
         RANGEJ = sf[10]
         RWID = sf[11]
         CPOS = sf[12]
+        MMUG = sf[13]
         off = PE_SLOT_FIELDS * nslot
         ee = meta[off:off + B2]
+        off += B2
+        snz = meta[off:off + B2]
         off += B2
         cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
         astart, ci_rid, ci_row, ci_lane, ci_score = cif
@@ -2541,20 +2547,36 @@ class PairedAligner(BatchAligner):
         conc &= typ != _PED
         SUCC = np.concatenate([conc.any(axis=2), conc.any(axis=1)], axis=0)
 
-        # ---- seed-round suppression (zero-seed `break` quirk) ----
+        # ---- seed-round suppression (zero-seed-round `break` quirk) ----
+        # The reference's PE rounds loop searches the mates in matemap
+        # order and `break`s out of the loop — skipping the OTHER mate's
+        # seed instantiation AND search — when the current mate either
+        # instantiates no N-free seeds (bt2_search.cpp:3948) or its
+        # searchAllSeeds finds no SA ranges at all (:3968). With PE's
+        # halved round count (ceil(R/2) = 1 under -R 2) the skipped mate
+        # never gets a seed round, so it can only align via the exact /
+        # 1mm up-front phases or mate rescue. -R 3 gives PE a round 1,
+        # which is exactly why the residual class aligns under -R 3.
         inst = fpb.inst_read
         n1e, n2e = ee[:Bp], ee[Bp:]
         swap = (n1e > 0) & (n2e > 0) & (n1e > n2e)
         inst_first = np.where(swap, inst[Bp:], inst[:Bp])
+        snz_first = np.where(swap, snz[Bp:], snz[:Bp])
         both_ok = ~fpb.filtered[:Bp] & ~fpb.filtered[Bp:]
-        supp_pair = both_ok & (inst_first == 0)
+        supp_pair = both_ok & ((inst_first == 0) | (snz_first == 0))
         suppress = np.concatenate([supp_pair, supp_pair])
+
+        # under suppression only exact-sweep hits and 1mm-upfront-
+        # discoverable half candidates (ungapped anchor-diagonal mm <= 1)
+        # survive; a half+seed dual-source candidate with 2+ mismatches
+        # exists only through the blocked seed phase
+        half_ok = HALF & np.where(suppress[:, None], MMUG <= 1, True)
 
         # ---- -D fail-streak effort (pe_effort.py), vectorized fast path ----
         nex = (OCC & EXACT).sum(axis=1)
-        nhf = (OCC & HALF & ~EXACT).sum(axis=1)
+        nhf = (OCC & half_ok & ~EXACT).sum(axis=1)
         nsd = (OCC & ~EXACT & ~HALF).sum(axis=1)
-        ATT = OCC & np.where(suppress[:, None], EXACT | HALF, True)
+        ATT = OCC & np.where(suppress[:, None], EXACT | half_ok, True)
         SUC = ATT & SUCC
         if not pol.all_hits:
             limit = pe_streak_limit(pol.fail_streak, pol.khits, True)
@@ -2564,7 +2586,7 @@ class PairedAligner(BatchAligner):
                 ks = np.nonzero(OCC[ri])[0]
                 exact_l = [int(k) for k in ks if EXACT[ri, k]]
                 half_l = [int(k) for k in ks
-                          if HALF[ri, k] and not EXACT[ri, k]]
+                          if half_ok[ri, k] and not EXACT[ri, k]]
                 seed_l = [] if suppress[ri] else \
                     [int(k) for k in ks
                      if not EXACT[ri, k] and not HALF[ri, k]]
@@ -2833,11 +2855,17 @@ class PairedAligner(BatchAligner):
                 eff[ri] = (set(), set())
                 continue
             exact = [k for k in ks if cs.cand_exact[k]]
-            halfp = [k for k in ks
-                     if cs.cand_half[k] and not cs.cand_exact[k]]
             if suppress_seeds is not None and suppress_seeds[ri]:
+                # only 1mm-upfront-discoverable half candidates survive a
+                # suppressed seed round (ungapped anchor mm <= 1); the rest
+                # exist only through the blocked seed phase
+                halfp = [k for k in ks
+                         if cs.cand_half[k] and not cs.cand_exact[k]
+                         and cs.pool.mm_ug[k] <= 1]
                 seedp = []
             else:
+                halfp = [k for k in ks
+                         if cs.cand_half[k] and not cs.cand_exact[k]]
                 seedp = [k for k in ks
                          if not cs.cand_exact[k] and not cs.cand_half[k]]
             anchor_ok = {k for k in ks if cs.valid[k]}

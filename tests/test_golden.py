@@ -120,13 +120,10 @@ def test_golden_paired(lambda_index, lambda_reads):
         for t, (r1, r2) in enumerate(chunk):
             got[(r1.name, 1)] = _rec_dict(outs[2 * t])
             got[(r2.name, 2)] = _rec_dict(outs[2 * t + 1])
-    # PE has known extra-sensitivity vs the reference's -D fail-streak
-    # give-ups: the aligned SET may include pairs the reference dropped, so
-    # only per-record parity is asserted here (threshold covers the delta).
-    n_exact = sum(
-        1 for key, ours in got.items()
-        if all(ours[f] == golden[key][f] for f in FIELDS_CHECKED))
-    assert n_exact / max(len(got), 1) >= 0.95, n_exact
+    # round 3: the PE zero-seed-round `break` model closed the reference
+    # give-up class — the full 10k-pair corpus is byte-identical, so this
+    # asserts the aligned SET and 100% per-record parity like the SE test
+    _compare(got, golden, 1.0)
 
 
 def test_golden_paired_local(lambda_index, lambda_reads):

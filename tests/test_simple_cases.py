@@ -401,6 +401,37 @@ CASES += [
 ]
 
 
+# Round-3 expansion #4: the PE zero-seed-round `break` (bt2_search.cpp
+# :3948-3971): when the first mate's round-0 seed search comes up empty,
+# the rounds loop breaks BEFORE the other mate's seed search, and PE's
+# halved round count (1 under -R 2) means that mate can then only align
+# via the exact/1mm up-front phases or mate rescue.
+def _mut(s, *offs):
+    out = list(s)
+    for o in offs:
+        out[o] = {"A": "C", "C": "A", "G": "T", "T": "G"}[out[o]]
+    return "".join(out)
+
+
+_JUNK30 = "CACACACACACACACACACACACACACACA"
+# two mismatches placed so that BOTH boosted-interval seed windows
+# ([0,22) and [8,30)) are dirty and the 1mm-upfront phase (<=1 mm) fails
+_M2_2MM = _mut(REF180[60:90], 10, 20)
+_M2_1MM = _mut(REF180[60:90], 10)
+CASES += [
+    dict(name="PE break junk mate1 blocks mate2 seeds", ref=[REF180],
+         pairs=[(_JUNK30, _rc(_M2_2MM))]),
+    dict(name="PE break control mate2 1mm survives", ref=[REF180],
+         pairs=[(_JUNK30, _rc(_M2_1MM))]),
+    dict(name="PE break mate1 fine mate2 junk", ref=[REF180],
+         pairs=[(REF180[0:30], _JUNK30)]),
+    dict(name="PE break junk mate1 local", ref=[REF180],
+         pairs=[(_JUNK30, _rc(_M2_2MM))], local=True),
+    dict(name="PE break junk mate1 k2", ref=[REF180],
+         pairs=[(_JUNK30, _rc(_M2_2MM))], khits=2),
+]
+
+
 FIELDS = (0, 1, 2, 3, 4, 5, 6, 7, 8)   # qname..tlen
 
 
