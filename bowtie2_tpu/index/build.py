@@ -41,26 +41,46 @@ from bowtie2_tpu.index.sa import suffix_array
 from bowtie2_tpu.io.fastx import read_fasta
 
 
+# chunk size for the streaming build passes: big enough to amortize numpy
+# dispatch, small enough that per-chunk temporaries (~10x chunk bytes) stay
+# cache/RAM-friendly — genome-scale builds were dominated by 4-8x full-text
+# temporaries before chunking (36.5 GB peak at 1 Gbp)
+_CHUNK = 1 << 25        # 32M chars; multiple of OCC_BLOCK and 32
+
+
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
-    """uint8 codes (values 0..3) → uint32 words, 16 codes/word, crumb j at bits 2j."""
+    """uint8 codes (values 0..3) → uint32 words, 16 codes/word, crumb j at
+    bits 2j. Chunked: peak extra memory ~6x chunk size, not 6x text size."""
     n = codes.size
     nwords = (n + 15) // 16
-    padded = np.zeros(nwords * 16, dtype=np.uint32)
-    padded[:n] = codes
-    padded = padded.reshape(nwords, 16)
+    out = np.zeros(nwords, dtype=np.uint32)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
-    return np.bitwise_or.reduce(padded << shifts, axis=1).astype(np.uint32)
+    for s in range(0, n, _CHUNK):
+        e = min(s + _CHUNK, n)
+        ln = e - s
+        lw = (ln + 15) // 16
+        padded = np.zeros(lw * 16, dtype=np.uint32)
+        padded[:ln] = codes[s:e]
+        np.bitwise_or.reduce(padded.reshape(lw, 16) << shifts, axis=1,
+                             out=out[s // 16:s // 16 + lw])
+    return out
 
 
 def pack_bits(bits: np.ndarray) -> np.ndarray:
-    """bool array → uint32 words, bit j of word w = bits[32w+j]."""
+    """bool array → uint32 words, bit j of word w = bits[32w+j]. Chunked."""
     n = bits.size
     nwords = (n + 31) // 32
-    padded = np.zeros(nwords * 32, dtype=np.uint32)
-    padded[:n] = bits
-    padded = padded.reshape(nwords, 32)
+    out = np.zeros(nwords, dtype=np.uint32)
     shifts = np.arange(32, dtype=np.uint32)[None, :]
-    return np.bitwise_or.reduce(padded << shifts, axis=1).astype(np.uint32)
+    for s in range(0, n, _CHUNK):
+        e = min(s + _CHUNK, n)
+        ln = e - s
+        lw = (ln + 31) // 32
+        padded = np.zeros(lw * 32, dtype=np.uint32)
+        padded[:ln] = bits[s:e]
+        np.bitwise_or.reduce(padded.reshape(lw, 32) << shifts, axis=1,
+                             out=out[s // 32:s // 32 + lw])
+    return out
 
 
 @dataclass
@@ -114,42 +134,92 @@ class IndexData:
 
 
 def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
-                off_rate: int, large: bool = False) -> HalfIndex:
+                off_rate: int, large: bool = False,
+                threads: int = 1) -> HalfIndex:
     """large=True stores row-space arrays (occ_cp/fchr/ftab/offs) as int64
     — the ".bt2l" analog (reference btypes.h TIndexOffU 64-bit switch,
     bt2_idx.h:100-105) — required when the joined text reaches 2^31 bp
     (GRCh38 is ~3.1 Gbp). Device kernels pick the row dtype up from the
-    arrays; the small mode stays int32 (2x less HBM and faster)."""
+    arrays; the small mode stays int32 (2x less HBM and faster).
+
+    Every post-SA pass streams over _CHUNK-sized row windows: the BWT
+    gather + 2-bit pack, per-block occ counts, SA-sample marks + rank
+    checkpoints and the ftab histogram never materialize another
+    text-sized temporary (the pre-streaming build peaked at ~36 bytes/bp;
+    the SA itself is now the only O(n) resident besides the outputs).
+    threads > 1 runs the independent row-window passes on a thread pool
+    (numpy releases the GIL for the heavy ops) — the analog of the
+    reference's bowtie2-build --threads bucket pool (blockwise_sa.h:255),
+    applied to the linear-time layout instead of bucket sorting."""
     rdt = np.int64 if large else np.int32
     n = int(text.size)
     sa = suffix_array(text)          # length n+1, sa[0] == n
     nrows = n + 1
-
-    # BWT chars; row with sa==0 gets placeholder 0 (A), corrected at query time
-    prev = sa - 1
-    z_off = int(np.nonzero(sa == 0)[0][0])
-    prev[sa == 0] = 0                # text[-1] placeholder; overwritten below
-    bwt = text[prev].astype(np.uint8)
-    bwt[0] = text[n - 1] if n > 0 else 0   # row 0 is the sentinel suffix
-    bwt[z_off] = 0                   # spurious 'A'; occ queries subtract it
-
-    # pad rows to whole occ blocks
     nblocks = (nrows + OCC_BLOCK - 1) // OCC_BLOCK
-    bwt_padded = np.zeros(nblocks * OCC_BLOCK, dtype=np.uint8)
-    bwt_padded[:nrows] = bwt
-    # padding must not pollute occ counts of 'A': counts are cumulative
-    # checkpoints before each block, and in-block queries mask by row < i.
-    bwt_words = pack_2bit(bwt_padded)
+    npad = nblocks * OCC_BLOCK
+    period = 1 << off_rate
 
-    # occ checkpoints: counts of c in bwt_padded[0 : 128*b] (includes
-    # spurious A); per-block counts then an exclusive cumsum — O(n) int32.
-    # Padding zeros only pollute the LAST block's 'A' count; subtract them
-    # instead of materializing an n-sized validity matrix.
-    blk = bwt_padded.reshape(nblocks, OCC_BLOCK)
-    per_block = np.stack(
-        [(blk == c).sum(axis=1) for c in range(4)],
-        axis=1).astype(np.int64)
-    per_block[-1, 0] -= nblocks * OCC_BLOCK - nrows
+    bwt_words = np.zeros(npad // 16, dtype=np.uint32)
+    per_block = np.zeros((nblocks, 4), dtype=np.int64)
+    mark_words = np.zeros(npad // 32, np.uint32) if with_sa_sample else None
+    mark_pb = np.zeros(nblocks, np.int64) if with_sa_sample else None
+    nchunks = (npad + _CHUNK - 1) // _CHUNK
+    offs_parts: list = [None] * nchunks
+    z_parts: list = [0] * nchunks
+    sh2 = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    sh1 = np.arange(32, dtype=np.uint32)[None, :]
+
+    def _rows_pass(ci: int) -> None:
+        s = ci * _CHUNK
+        e = min(s + _CHUNK, npad)
+        ln = e - s
+        bwtc = np.zeros(ln, dtype=np.uint8)
+        if s < nrows:
+            rows = sa[s:min(e, nrows)]
+            # BWT char of row r = text[sa[r] - 1]; sa == 0 (row z_off) gets
+            # a spurious 'A' that occ queries subtract at query time, and
+            # sa == n (the sentinel row) wraps to text[n - 1]
+            prev = (rows.astype(np.int64) - 1) % nrows
+            np.minimum(prev, n - 1, out=prev)
+            bwtc[:rows.size] = text[prev]
+            zm = np.nonzero(rows == 0)[0]
+            if zm.size:
+                z_parts[ci] = s + int(zm[0]) + 1     # +1: 0 is "none"
+                bwtc[zm[0]] = 0
+            if with_sa_sample:
+                marked = np.zeros(ln, dtype=bool)
+                marked[:rows.size] = (rows % period) == 0
+                lw = ln // 32
+                np.bitwise_or.reduce(
+                    padded_b := marked.astype(np.uint32).reshape(lw, 32)
+                    << sh1, axis=1,
+                    out=mark_words[s // 32:s // 32 + lw])
+                del padded_b
+                mark_pb[s // OCC_BLOCK:e // OCC_BLOCK] = \
+                    marked.reshape(-1, OCC_BLOCK).sum(axis=1)
+                offs_parts[ci] = rows[marked[:rows.size]].astype(rdt)
+        # 2-bit pack + per-block counts (padding zeros pollute only the
+        # LAST block's 'A' count; subtracted after the loop)
+        lw = ln // 16
+        np.bitwise_or.reduce(
+            bwtc.astype(np.uint32).reshape(lw, 16) << sh2, axis=1,
+            out=bwt_words[s // 16:s // 16 + lw])
+        blk = bwtc.reshape(-1, OCC_BLOCK)
+        for c in range(4):
+            per_block[s // OCC_BLOCK:e // OCC_BLOCK, c] = \
+                (blk == c).sum(axis=1)
+
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(_rows_pass, range(nchunks)))
+    else:
+        for ci in range(nchunks):
+            _rows_pass(ci)
+
+    z_off = max(z_parts) - 1
+    assert z_off >= 0
+    per_block[-1, 0] -= npad - nrows
     occ_cp = np.concatenate(
         [np.zeros((1, 4), np.int64),
          np.cumsum(per_block, axis=0)[:-1]]).astype(rdt)
@@ -162,56 +232,66 @@ def _build_half(text: np.ndarray, ftab_chars: int, with_sa_sample: bool,
     # (key*2 + isFull) is < v. The count is ORDER-INDEPENDENT, so no SA
     # gather and no sorted-key array are needed at all: build per-position
     # keys with sequential shifted adds (cache-friendly), histogram them
-    # chunked (the 2*4^K-bin counts stay cache-resident), prefix-sum.
-    # Replaces a 100M-element searchsorted that cost ~25% of total build.
+    # per chunk (the 2*4^K-bin counts stay cache-resident), prefix-sum.
     K = ftab_chars
     assert K <= 15, "ftab keys are uint32 (4^15 max)"
-    keys_text = np.zeros(n + 1, dtype=np.uint32)
-    tpad = np.concatenate([text, np.zeros(K + 1, np.uint8)])
-    for j in range(K):
-        keys_text *= 4
-        keys_text += tpad[j:j + n + 1]
-    keys_text *= 2
-    keys_text[:max(n - K + 1, 0)] += 1      # isFull: suffix has >= K chars
     nbin = 2 * 4**K
-    counts_k = np.zeros(nbin, dtype=np.int64)
-    CH = 1 << 28
-    for s in range(0, n + 1, CH):
-        counts_k += np.bincount(keys_text[s:s + CH], minlength=nbin)
-    del keys_text
-    ftab = np.concatenate(
-        [[0], np.cumsum(counts_k)]).astype(rdt)
+
+    def _ftab_pass(s: int) -> np.ndarray:
+        e = min(s + _CHUNK, n + 1)
+        ln = e - s
+        win = np.zeros(ln + K, dtype=np.uint8)
+        take = min(e + K, n) - s
+        if take > 0:
+            win[:take] = text[s:s + take]
+        keys = np.zeros(ln, dtype=np.uint32)
+        for j in range(K):
+            keys *= 4
+            keys += win[j:j + ln]
+        keys *= 2
+        full_end = max(n - K + 1 - s, 0)
+        keys[:min(full_end, ln)] += 1    # isFull: suffix has >= K chars
+        return np.bincount(keys, minlength=nbin)
+
+    starts = list(range(0, n + 1, _CHUNK))
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            counts_k = sum(ex.map(_ftab_pass, starts),
+                           np.zeros(nbin, np.int64))
+    else:
+        counts_k = np.zeros(nbin, dtype=np.int64)
+        for s in starts:
+            counts_k += _ftab_pass(s)
+    ftab = np.concatenate([[0], np.cumsum(counts_k)]).astype(rdt)
     del counts_k
 
     half = HalfIndex(
         n=n, z_off=z_off, bwt_words=bwt_words, occ_cp=occ_cp, fchr=fchr,
         ftab=ftab, ftab_chars=K,
     )
-
     if with_sa_sample:
-        period = 1 << off_rate
-        marked = (sa % period) == 0
-        marked_padded = np.zeros(nblocks * OCC_BLOCK, dtype=bool)
-        marked_padded[:nrows] = marked
-        half.mark_words = pack_bits(marked_padded)
-        mcsum = np.concatenate([[0], np.cumsum(marked_padded)])
-        half.mark_cp = mcsum[:: OCC_BLOCK][:nblocks].astype(np.int32)
-        half.offs = sa[marked].astype(rdt)
+        half.mark_words = mark_words
+        half.mark_cp = np.concatenate(
+            [[0], np.cumsum(mark_pb)[:-1]]).astype(np.int32)
+        half.offs = np.concatenate([p for p in offs_parts if p is not None])
     return half
 
 
 def build_index(fasta_path: str, ftab_chars: int = FTAB_CHARS,
                 off_rate: int = OFF_RATE, mirror: bool = False,
-                large: Optional[bool] = None) -> IndexData:
+                large: Optional[bool] = None, threads: int = 1) -> IndexData:
     refs = read_fasta(fasta_path)
     if not refs:
         raise ValueError(f"no sequences in {fasta_path}")
-    return build_index_from_refs(refs, ftab_chars, off_rate, mirror, large)
+    return build_index_from_refs(refs, ftab_chars, off_rate, mirror, large,
+                                 threads)
 
 
 def build_index_from_refs(refs, ftab_chars: int = FTAB_CHARS,
                           off_rate: int = OFF_RATE, mirror: bool = False,
-                          large: Optional[bool] = None) -> IndexData:
+                          large: Optional[bool] = None,
+                          threads: int = 1) -> IndexData:
     """refs: [(name, uint8 codes incl N)]. mirror=True additionally builds
     the reversed-text index (the reference's .rev.1/2.bt2); no current
     search path uses it (kept for future in-index bidirectional -N 1
@@ -239,29 +319,36 @@ def build_index_from_refs(refs, ftab_chars: int = FTAB_CHARS,
     if jpos == 0:
         raise ValueError("reference contains no unambiguous (non-N) bases")
     joined = np.concatenate(joined_parts).astype(np.uint8)
+    del joined_parts
 
     # global reference arrays (N stored as A + N bitmask)
     allcodes = np.concatenate([r[1] for r in refs]).astype(np.uint8)
     nmask = allcodes >= 4
     packed_src = np.where(nmask, 0, allcodes).astype(np.uint8)
+    del allcodes
+    ref_words = pack_2bit(packed_src)
+    del packed_src
+    refn_words = pack_bits(nmask)
+    del nmask
 
     data = IndexData(
         ref_names=names, ref_lens=lens, ref_cum=cum,
         seg_joined_start=np.array(seg_j, dtype=np.int64),
         seg_global_start=np.array(seg_g, dtype=np.int64),
         seg_len=np.array(seg_l, dtype=np.int64),
-        ref_words=pack_2bit(packed_src),
-        refn_words=pack_bits(nmask),
+        ref_words=ref_words,
+        refn_words=refn_words,
         off_rate=off_rate,
     )
     if large is None:
         # auto: int64 row space once the joined text nears 2^31 rows
         # (reference bowtie2-build picks .bt2l past ~4 GB, bowtie2-build:61)
         large = jpos >= (1 << 31) - 64
-    data.fw = _build_half(joined, ftab_chars, True, off_rate, large)
+    data.fw = _build_half(joined, ftab_chars, True, off_rate, large,
+                          threads)
     if mirror:
         data.bw = _build_half(joined[::-1].copy(), ftab_chars, False,
-                              off_rate, large)
+                              off_rate, large, threads)
     return data
 
 

@@ -3,8 +3,15 @@
  * Native build-time component of bowtie2_tpu: linear-time suffix sorting
  * for genome-scale index construction, filling the role of the reference's
  * Karkkainen blockwise sorter / libsais path (blockwise_sa.h:255,
- * third_party/libsais). All indexes are int64 so multi-gigabase genomes
- * work.
+ * third_party/libsais).
+ *
+ * Memory: everything lives INSIDE the caller's SA buffer plus one n-byte
+ * type array per recursion level — the reduced string is compacted into
+ * the tail of SA, the recursion's SA is its head, and LMS positions are
+ * rebuilt from the type array when needed (the classic two-buffer SA-IS
+ * layout). Peak is ~SA + 2n bytes of type arrays across levels, i.e.
+ * ~6 bytes/char in the uint32 path — the difference between a human-scale
+ * (3.1 Gbp) build fitting in ~23 GB vs ~40 GB with separate LMS arrays.
  *
  * Convention: T[n-1] must be a unique smallest sentinel (the Python
  * wrapper shifts codes up by one and appends 0). SA covers all n suffixes
@@ -13,6 +20,7 @@
  * Exposed entry points (ctypes):
  *   int sais_u8   (const uint8_t* T, int64_t* SA, int64_t n, int64_t K)
  *   int sais_int64(const int64_t* T, int64_t* SA, int64_t n, int64_t K)
+ *   int sais_u8_32(const uint8_t* T, uint32_t* SA, int64_t n, int64_t K)
  * Return 0 on success, negative on bad input / allocation failure.
  */
 
@@ -90,9 +98,8 @@ static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
     /* ---- step 1: sort LMS substrings by one induction round ---- */
     for (i = 0; i < n; i++) SA[i] = -1;
     bucket_bounds(v, n, K, B, 1);
-    i64 m = 0;
     for (i = n - 1; i > 0; i--) {
-        if (is_lms(ty, i)) { SA[--B[chr_at(v, i)]] = i; m++; }
+        if (is_lms(ty, i)) SA[--B[chr_at(v, i)]] = i;
     }
     SA[0] = n - 1;   /* sentinel suffix leads; also an honorary LMS anchor */
     induce(v, ty, SA, n, K, B);
@@ -105,11 +112,10 @@ static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
         i64 p = SA[i];
         if (p == n - 1 || is_lms(ty, p)) sorted[j++] = p;
     }
-    i64 nlms = j;           /* == m + 1 (sentinel) */
+    i64 nlms = j;           /* == #LMS + 1 (sentinel) */
     /* names live in the unused upper region of SA (classic trick: LMS
      * positions are >= 2 apart, so p>>1 slots are unique and
-     * nlms + (n-1)/2 < n) — avoids an 8n-byte name array, which OOM'd
-     * multi-gigabase builds */
+     * nlms + (n-1)/2 < n) — avoids an 8n-byte name array */
     i64 *name_buf = SA + nlms;
     i64 name = 0, prev = -1;
     for (i = 0; i < nlms; i++) {
@@ -135,45 +141,49 @@ static int sais_rec(const struct view *v, i64 *SA, i64 n, i64 K) {
         name_buf[p >> 1] = name - 1;
     }
 
-    /* reduced string: names of LMS positions in text order */
-    i64 *red = (i64 *)malloc((size_t)nlms * sizeof(i64));
-    i64 *lms_pos = (i64 *)malloc((size_t)nlms * sizeof(i64));
-    i64 *red_sa = (i64 *)malloc((size_t)nlms * sizeof(i64));
-    if (!red || !lms_pos || !red_sa) {
-        free(ty); free(B); free(red); free(lms_pos);
-        free(red_sa);
-        return -2;
-    }
-    j = 0;
-    for (i = 0; i < n; i++) {
-        if (i == n - 1 || is_lms(ty, i)) {
-            lms_pos[j] = i;
-            red[j++] = name_buf[i >> 1];
-        }
+    /* reduced string (names of LMS positions in text order) compacted
+     * into the TAIL of SA. Reverse scan: writes descend from SA[n-1]
+     * while reads descend from name_buf[(n-1)>>1] = SA[nlms+(n-1)/2];
+     * the write index stays >= the read index throughout (it ends at
+     * n-nlms >= nlms), so no name is clobbered before it is read. */
+    i64 *red = SA + (n - nlms);
+    j = n - 1;
+    for (i = n - 1; i >= 0; i--) {
+        if (i == n - 1 || is_lms(ty, i)) SA[j--] = name_buf[i >> 1];
     }
 
+    /* recursion: reduced SA built in the HEAD of SA */
     if (name < nlms) {
         struct view rv = { red, 1 };
-        int rc = sais_rec(&rv, red_sa, nlms, name);
-        if (rc != 0) {
-            free(ty); free(B); free(red); free(lms_pos); free(red_sa);
-            return rc;
-        }
+        int rc = sais_rec(&rv, SA, nlms, name);
+        if (rc != 0) { free(ty); free(B); return rc; }
     } else {
-        for (i = 0; i < nlms; i++) red_sa[red[i]] = i;
+        for (i = 0; i < nlms; i++) SA[red[i]] = i;
     }
 
-    /* ---- step 3: place sorted LMS, induce final SA ---- */
-    for (i = 0; i < n; i++) SA[i] = -1;
+    /* rebuild LMS text positions (text order) into the tail, overwriting
+     * the reduced string, then map reduced ranks -> text positions */
+    j = n - nlms;
+    for (i = 0; i < n; i++) {
+        if (i == n - 1 || is_lms(ty, i)) SA[j++] = i;
+    }
+    for (i = 0; i < nlms; i++) SA[i] = SA[(n - nlms) + SA[i]];
+
+    /* ---- step 3: place sorted LMS, induce final SA ----
+     * SA[0..nlms) holds LMS text positions in sorted order; clear the
+     * rest and scatter from the highest rank down — each target bucket
+     * slot is >= the source slot, so nothing unread is overwritten. */
+    for (i = nlms; i < n; i++) SA[i] = -1;
     bucket_bounds(v, n, K, B, 1);
-    for (i = nlms - 1; i >= 1; i--) {      /* skip red_sa[0] == sentinel */
-        i64 p = lms_pos[red_sa[i]];
+    for (i = nlms - 1; i >= 1; i--) {      /* rank 0 == sentinel */
+        i64 p = SA[i];
+        SA[i] = -1;
         SA[--B[chr_at(v, p)]] = p;
     }
     SA[0] = n - 1;
     induce(v, ty, SA, n, K, B);
 
-    free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+    free(ty); free(B);
     return 0;
 }
 
@@ -299,43 +309,46 @@ static int sais_rec32(const struct view32 *v, u32 *SA, u32 n, u32 K) {
         name_buf[p >> 1] = name - 1;
     }
 
-    u32 *red = (u32 *)malloc((size_t)nlms * sizeof(u32));
-    u32 *lms_pos = (u32 *)malloc((size_t)nlms * sizeof(u32));
-    u32 *red_sa = (u32 *)malloc((size_t)nlms * sizeof(u32));
-    if (!red || !lms_pos || !red_sa) {
-        free(ty); free(B); free(red); free(lms_pos); free(red_sa);
-        return -2;
-    }
-    j = 0;
-    for (i = 0; i < n; i++) {
-        if (i == n - 1 || is_lms(ty, i)) {
-            lms_pos[j] = i;
-            red[j++] = name_buf[i >> 1];
-        }
+    /* reduced string compacted into the TAIL of SA (reverse scan: the
+     * descending write index stays >= the descending read index, ending
+     * at n-nlms >= nlms, so no unread name is clobbered) */
+    u32 *red = SA + (n - nlms);
+    ii = (i64)n - 1;
+    for (i64 t = (i64)n - 1; t >= 0; t--) {
+        if (t == (i64)n - 1 || is_lms(ty, t))
+            SA[ii--] = name_buf[(u32)t >> 1];
     }
 
+    /* recursion: reduced SA built in the HEAD of SA */
     if (name < nlms) {
         struct view32 rv = { red, 1 };
-        int rc = sais_rec32(&rv, red_sa, nlms, name);
-        if (rc != 0) {
-            free(ty); free(B); free(red); free(lms_pos); free(red_sa);
-            return rc;
-        }
+        int rc = sais_rec32(&rv, SA, nlms, name);
+        if (rc != 0) { free(ty); free(B); return rc; }
     } else {
-        for (i = 0; i < nlms; i++) red_sa[red[i]] = i;
+        for (i = 0; i < nlms; i++) SA[red[i]] = i;
     }
 
-    /* step 3: place sorted LMS, induce final SA */
-    for (i = 0; i < n; i++) SA[i] = EMPTY32;
+    /* rebuild LMS text positions into the tail (overwrites the reduced
+     * string), then map reduced ranks -> text positions */
+    ii = (i64)n - (i64)nlms;
+    for (i64 t = 0; t < (i64)n; t++) {
+        if (t == (i64)n - 1 || is_lms(ty, t)) SA[ii++] = (u32)t;
+    }
+    for (i = 0; i < nlms; i++) SA[i] = SA[(n - nlms) + SA[i]];
+
+    /* step 3: place sorted LMS, induce final SA (scatter from the
+     * highest rank down — target slots are >= source slots) */
+    for (ii = (i64)nlms; ii < (i64)n; ii++) SA[ii] = EMPTY32;
     bucket_bounds32(v, n, K, B, 1);
     for (ii = (i64)nlms - 1; ii >= 1; ii--) {
-        u32 p = lms_pos[red_sa[ii]];
+        u32 p = SA[ii];
+        SA[ii] = EMPTY32;
         SA[--B[chr_at32(v, p)]] = p;
     }
     SA[0] = n - 1;
     induce32(v, ty, SA, n, K, B);
 
-    free(ty); free(B); free(red); free(lms_pos); free(red_sa);
+    free(ty); free(B);
     return 0;
 }
 
