@@ -17,7 +17,7 @@ def cmd_build(argv):
     ap.add_argument("prefix")
     ap.add_argument("-o", "--offrate", type=int, default=4)
     ap.add_argument("-t", "--ftabchars", type=int, default=10)
-    ap.add_argument("--threads", type=int, default=1)   # build is vectorized
+    ap.add_argument("--threads", type=int, default=1)   # chunk-pass pool
     ap.add_argument("-f", action="store_true")          # input is FASTA (always)
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
@@ -31,7 +31,8 @@ def cmd_build(argv):
         print("error: no sequences in input", file=sys.stderr)
         return 1
     data = build_index_from_refs(refs, ftab_chars=args.ftabchars,
-                                 off_rate=args.offrate)
+                                 off_rate=args.offrate,
+                                 threads=max(args.threads, 1))
     save_index(data, args.prefix)
     if not args.quiet:
         print(f"built index for {len(data.ref_names)} sequence(s), "

@@ -557,7 +557,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
 
 # number of per-slot scalar fields in the fused-PE metadata export (host
 # decode must match pipeline/align.py PairedAligner._collect_fused)
-PE_SLOT_FIELDS = 14
+PE_SLOT_FIELDS = 15
 # per-compact-candidate fields exported for DPPool reconstruction
 PE_CI_FIELDS = 5
 
@@ -628,10 +628,14 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
     # zero-seed-round suppression (bt2_search.cpp:3948 `break`) only
     # 1mm-upfront-discoverable half candidates (<= 1 mm) survive
     mmug = scat(cx["mm_ug"])
+    # per-slot e2e diagonal start (global space; int32-wrapped in the
+    # large mode, decoded via _u32pos): the host gate re-derives the
+    # implied 1mm-upfront hit's mismatch position/penalty from it
+    anch = cx["anchor"].astype(jnp.int32)
     slot_fields = [
         cx["slot_valid"], aok.astype(bool), score, cx["slot_or"],
         cx["rid"], lo, hi, rdend, cx["agg_exact"], cx["agg_half"],
-        cx["slot_rangej"], cx["slot_rwidth"], cpos, mmug]
+        cx["slot_rangej"], cx["slot_rwidth"], cpos, mmug, anch]
     ci_fields = [cx["astart"], cx["c_rid"], res.row, res.lane,
                  cx["c_score"]]
     blob = jnp.concatenate(

@@ -2370,8 +2370,17 @@ class PairedAligner(BatchAligner):
             st.reads += 2
             l1 = _eff_ranked(i)
             l2 = _eff_ranked(B + i)
-            xs1 = int(scores[l1[1]]) if len(l1) > 1 else None
-            xs2 = int(scores[l2[1]]) if len(l2) > 1 else None
+
+            def _xs_leg(lst, krep):
+                # best attempted alignment EXCLUDING the reported one
+                # (reference bestUnp1/2 — may outscore the pair choice)
+                for k in lst:
+                    if k != krep:
+                        return int(scores[k])
+                return None
+
+            xs1 = _xs_leg(l1, l1[0] if l1 else -1)
+            xs2 = _xs_leg(l2, l2[0] if l2 else -1)
             combos = conc.get(i)
             if combos:
                 sec_sum = combos[1][0] if len(combos) > 1 else None
@@ -2391,6 +2400,12 @@ class PairedAligner(BatchAligner):
                             (k2, cs.pool, tb_of[k2], int(cs.cand_or[k2]),
                              ext_lo[k2], ext_hi[k2]))
 
+                def _rep_ks(combo):
+                    if isinstance(combo[1], tuple):
+                        _, ak, t, opp_ri, *_r = combo[1]
+                        return (ak, -1) if opp_ri >= B else (-1, ak)
+                    return combo[1], combo[2]
+
                 # -k/-a: up to khits ranked pairs; secondaries get 0x100 +
                 # MAPQ 255, the primary a real MAPQ only when a second-best
                 # pair exists (unique.h:202 k-mode convention)
@@ -2398,6 +2413,11 @@ class PairedAligner(BatchAligner):
                 npairs = len(combos) if pol.all_hits \
                     else min(pol.khits, len(combos))
                 rank0_ok = False
+                # XS excludes the PRIMARY selection's slot; same value on
+                # every rank (selectByScore computes bestUnchosenP1/2 once
+                # from select[0], aln_sink.cpp)
+                kr1, kr2 = _rep_ks(combos[0])
+                xs1p, xs2p = _xs_leg(l1, kr1), _xs_leg(l2, kr2)
                 for r in range(npairs):
                     if r > 0 and not rank0_ok:
                         break
@@ -2408,7 +2428,7 @@ class PairedAligner(BatchAligner):
                     ok = self._emit_pair(st, out, cs, i, rec1, rec2,
                                          marg1, marg2,
                                          combos[r][0], sec_sum, "CP", True,
-                                         xs1=xs1, xs2=xs2,
+                                         xs1=xs1p, xs2=xs2p,
                                          secondary=r > 0, force_mq=fmq)
                     if r == 0:
                         rank0_ok = ok
@@ -2480,6 +2500,7 @@ class PairedAligner(BatchAligner):
         RWID = sf[11]
         CPOS = sf[12]
         MMUG = sf[13]
+        ANCH = _u32pos(sf[14]) if large else sf[14].astype(np.int64)
         off = PE_SLOT_FIELDS * nslot
         ee = meta[off:off + B2]
         off += B2
@@ -2571,6 +2592,18 @@ class PairedAligner(BatchAligner):
         # survive; a half+seed dual-source candidate with 2+ mismatches
         # exists only through the blocked seed phase
         half_ok = HALF & np.where(suppress[:, None], MMUG <= 1, True)
+        for ri in np.nonzero(suppress)[0]:
+            # full oneMmSearch discoverability for the rare suppressed
+            # rows: segment containment + --local mismatch-position
+            # legality (aligner_seed.cpp:1231-1263)
+            for k in np.nonzero(OCC[ri] & half_ok[ri] & ~EXACT[ri])[0]:
+                ori = int(OR[ri, k])
+                codes = (fpb.rc if ori else fpb.fw)[ri]
+                quals = (fpb.qu_r if ori else fpb.qu)[ri]
+                if not self._mm1_upfront_ok(codes, quals,
+                                            int(fpb.lens[ri]),
+                                            int(ANCH[ri, k])):
+                    half_ok[ri, k] = False
 
         # ---- -D fail-streak effort (pe_effort.py), vectorized fast path ----
         nex = (OCC & EXACT).sum(axis=1)
@@ -2661,6 +2694,12 @@ class PairedAligner(BatchAligner):
         rtb = {}
         rconc = {}       # pair -> ("r", ak_ci, t, opp_ri, opp_or, rlo, rhi,
                          #          sc_sum)
+        rdisc = {}       # pair -> same payload, rescue pair classified
+                         # DISCORDANT: the reference still reports both
+                         # mates as unpaired alignments (msink->report with
+                         # one NULL side, aligner_sw_driver.cpp:2417-2445),
+                         # so a unique anchor + unique rescued mate emit as
+                         # a discordant pair at finishRead
         if rescue_specs:
             Lmax = fpb.Lmax
             Gr = max((pol.maxins + 32 - Lmax + 1) // 2,
@@ -2696,10 +2735,13 @@ class PairedAligner(BatchAligner):
                     typr = pe_classify(pol.mate_fw_rc, rlo, rhi,
                                        opp_or == 0, alo, ahi, afw,
                                        pol.minins, pol.maxins, pol.olap_ok, pol.contain_ok, pol.dovetail_ok)
+                sc_sum = int(S[ari, ak_s]) + int(rpool.scores[t])
+                payload = ("r", int(CPOS[ari, ak_s]), t, opp_ri,
+                           opp_or, rlo, rhi, sc_sum, ari, int(ak_s))
                 if typr != PE_DISCORD:
-                    sc_sum = int(S[ari, ak_s]) + int(rpool.scores[t])
-                    rconc[i] = ("r", int(CPOS[ari, ak_s]), t, opp_ri,
-                                opp_or, rlo, rhi, sc_sum, ari, int(ak_s))
+                    rconc[i] = payload
+                elif i not in rdisc:
+                    rdisc[i] = payload
 
         # ---- ranked combo list per pair (top-k; default k=1 keeps the
         # vectorized argmax result, no per-pair argsort) ----
@@ -2720,7 +2762,7 @@ class PairedAligner(BatchAligner):
             for s1c, s2c in combo_of[i]:
                 need.add(int(CPOS[i, s1c]))
                 need.add(int(CPOS[Bp + i, s2c]))
-        for i, rc_ in rconc.items():
+        for i, rc_ in list(rconc.items()) + list(rdisc.items()):
             need.add(rc_[1])
         for i in real:
             if has[i] or i in rconc:
@@ -2737,18 +2779,35 @@ class PairedAligner(BatchAligner):
         st = AlignStats()
         out: List[SamAlignment] = []
         scores = pool.scores
+        def _xs_for(ri, srep):
+            """Best attempted alignment of mate ri EXCLUDING the reported
+            slot (reference AlnSetSumm bestUnp1/2: XS is the best OTHER
+            alignment, which may outscore the pair-chosen one)."""
+            fs = int(first_slot[ri])
+            if has_l[ri] and fs != srep:
+                return int(S[ri, fs])
+            ss = int(sec_slot[ri])
+            if has_l2[ri] and ss != srep:
+                return int(S[ri, ss])
+            return None
+
         for i in range(B):
             rec1, rec2 = fpb.pairs[i]
             st.pairs += 1
             st.reads += 2
             emitted = False
-            xs1 = int(S[i, sec_slot[i]]) if has_l2[i] else None
-            xs2 = int(S[Bp + i, sec_slot[Bp + i]]) \
-                if has_l2[Bp + i] else None
+            xs1 = _xs_for(i, int(first_slot[i]))
+            xs2 = _xs_for(Bp + i, int(first_slot[Bp + i]))
             if has[i]:
                 sec_sum = int(sec_ss[i]) if n_kept[i] > 1 else None
                 kmode = pol.all_hits or pol.khits > 1
                 rank0_ok = False
+                # XS excludes the PRIMARY selection's coordinate and the
+                # same value prints on every rank (selectByScore computes
+                # bestUnchosenP1/2 once from select[0], aln_sink.cpp)
+                s1_0, s2_0 = combo_of[i][0]
+                xs1p = _xs_for(i, int(s1_0))
+                xs2p = _xs_for(Bp + i, int(s2_0))
                 for r, (s1, s2) in enumerate(combo_of[i]):
                     if r > 0 and not rank0_ok:
                         break
@@ -2765,7 +2824,8 @@ class PairedAligner(BatchAligner):
                         (k2, pool, tb_of[k2], int(OR[Bp + i, s2]),
                          int(LO[Bp + i, s2]), int(HI[Bp + i, s2])),
                         sc_sum_r, sec_sum, "CP", True,
-                        xs1=xs1, xs2=xs2, secondary=r > 0, force_mq=fmq)
+                        xs1=xs1p, xs2=xs2p,
+                        secondary=r > 0, force_mq=fmq)
                     if r == 0:
                         rank0_ok = ok
                 if rank0_ok:
@@ -2811,6 +2871,28 @@ class PairedAligner(BatchAligner):
                 if ok:
                     st.disc += 1
                     continue
+            # discordant with a rescue-found mate: the reference reports
+            # rescue results as UNPAIRED alignments even when the rescued
+            # pair is discordant (aligner_sw_driver.cpp:2417-2445), so a
+            # unique anchor + a rescued opposite mate with no alignments
+            # of its own pair up as YT:Z:DP at finishRead
+            if not pol.no_discordant and i in rdisc:
+                (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum, ari,
+                 ak_s) = rdisc[i]
+                if nL[ari] == 1 and nL[opp_ri] == 0:
+                    aarg = (ak_ci, pool, tb_of[ak_ci], int(OR[ari, ak_s]),
+                            int(LO[ari, ak_s]), int(HI[ari, ak_s]))
+                    rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                    marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
+                                    else (rarg, aarg))
+                    ok = self._emit_pair(
+                        st, out, cs, i, rec1, rec2, marg1, marg2,
+                        sc_sum, None, "DP", False,
+                        force_mq=255 if (pol.all_hits or pol.khits > 1)
+                        else None)
+                    if ok:
+                        st.disc += 1
+                        continue
             # mixed / unaligned
             l1 = [int(CPOS[ri1, first_slot[ri1]])] if has_l[ri1] else []
             if has_l2[ri1]:
@@ -2822,6 +2904,52 @@ class PairedAligner(BatchAligner):
         self._merge_stats(st)
         self.metrics.add(t_host=_time.time() - _t)
         return out
+
+    # ------------------------------------------------------------------
+    def _mm1_upfront_ok(self, codes: np.ndarray, quals: np.ndarray,
+                        L: int, g0: int) -> bool:
+        """Would the reference's 1mm-upfront phase discover the implied
+        end-to-end <=1-mismatch hit at global diagonal start g0?
+
+        oneMmSearch (aligner_seed.cpp:975) runs over the N-excised joined
+        text, so the hit must fit one non-N segment of one reference; it
+        bails for reads with >1 Ns; and in --local mode a hit is legal
+        only if the running score stays positive through the mismatch
+        from BOTH read ends and the e2e score clears minsc
+        (aligner_seed.cpp:1231-1263) — which is why e.g. a last-base
+        mismatch is NOT a local 1mm hit (a legal local alignment clips
+        it instead). codes/quals are the aligned-orientation row."""
+        pol = self.pol
+        g0 = int(g0)
+        if g0 < 0 or g0 + L > int(self.data.ref_cum[-1]):
+            return False
+        segs = self.data.seg_global_start
+        si = int(np.searchsorted(segs, g0, side="right")) - 1
+        if si < 0 or g0 + L > int(segs[si] + self.data.seg_len[si]):
+            return False
+        rw = self.data.ref_words
+        gp = np.arange(g0, g0 + L)
+        ref = ((rw[gp >> 4] >> (2 * (gp & 15))) & 3).astype(np.int64)
+        rd = codes[:L].astype(np.int64)
+        mism = (rd != ref) | (rd >= 4)
+        idx = np.nonzero(mism)[0]
+        if idx.size == 0:
+            return True
+        if idx.size > 1 or int((rd >= 4).sum()) > 1:
+            return False
+        p = int(idx[0])
+        if rd[p] >= 4:
+            pen = -pol.n_pen
+        else:
+            lo = pol.mm_pen_max if pol.ignore_quals else pol.mm_pen_min
+            pen = -(lo + (min(int(quals[p]), 40)
+                          * (pol.mm_pen_max - lo)) // 40)
+        if not pol.local:
+            return True
+        ma = pol.match_bonus
+        if p * ma + pen <= 0 or (L - 1 - p) * ma + pen <= 0:
+            return False
+        return (L - 1) * ma + pen >= pol.min_score(L)
 
     # ------------------------------------------------------------------
     def _pe_effort_sets(self, cs: CandSet, succ_cross: set,
@@ -2857,11 +2985,16 @@ class PairedAligner(BatchAligner):
             exact = [k for k in ks if cs.cand_exact[k]]
             if suppress_seeds is not None and suppress_seeds[ri]:
                 # only 1mm-upfront-discoverable half candidates survive a
-                # suppressed seed round (ungapped anchor mm <= 1); the rest
+                # suppressed seed round (ungapped anchor mm <= 1 + the full
+                # oneMmSearch segment/--local legality rules); the rest
                 # exist only through the blocked seed phase
                 halfp = [k for k in ks
                          if cs.cand_half[k] and not cs.cand_exact[k]
-                         and cs.pool.mm_ug[k] <= 1]
+                         and cs.pool.mm_ug[k] <= 1
+                         and self._mm1_upfront_ok(
+                             (cs.rc if cs.cand_or[k] else cs.fw)[ri],
+                             (cs.qu_r if cs.cand_or[k] else cs.qu)[ri],
+                             int(cs.lens[ri]), int(cs.anchor[k]))]
                 seedp = []
             else:
                 halfp = [k for k in ks
