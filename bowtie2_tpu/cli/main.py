@@ -69,13 +69,23 @@ def _build_align_parser():
                     help="k:<int>,i:<int> — sample length-k reads every i "
                          "bases from the -U FASTA (FASTA-continuous)")
     ap.add_argument("-s", "--skip", type=int, default=0)
-    ap.add_argument("-u", "--upto", type=int, default=None)
+    ap.add_argument("-u", "--upto", "--qupto", dest="upto", type=int,
+                    default=None)
     ap.add_argument("-5", "--trim5", type=int, default=0)
     ap.add_argument("-3", "--trim3", type=int, default=0)
-    ap.add_argument("--phred33", action="store_true")
-    ap.add_argument("--phred64", action="store_true")
+    ap.add_argument("--phred33", "--phred33-quals", action="store_true")
+    ap.add_argument("--phred64", "--phred64-quals", action="store_true")
     ap.add_argument("--solexa-quals", action="store_true")
-    ap.add_argument("--int-quals", action="store_true")
+    ap.add_argument("--int-quals", "--integer-quals", action="store_true")
+    ap.add_argument("--trim-to", default=None,
+                    help="[3:|5:]<int> trim reads longer than <int> from "
+                         "the given end (default 3')")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="align only this random fraction of input reads")
+    ap.add_argument("--non-deterministic", "--nondeterministic",
+                    dest="non_deterministic", action="store_true",
+                    help="re-seed per-read RNG arbitrarily instead of from "
+                         "read name/seq/qual")
     # presets
     for name in ("very-fast", "fast", "sensitive", "very-sensitive"):
         ap.add_argument(f"--{name}", dest="preset", action="store_const",
@@ -93,6 +103,16 @@ def _build_align_parser():
     ap.add_argument("--nofw", action="store_true")
     ap.add_argument("--norc", action="store_true")
     ap.add_argument("--no-1mm-upfront", action="store_true")
+    ap.add_argument("--1mm-upfront", dest="mm1_upfront",
+                    action="store_true")
+    ap.add_argument("--no-exact-upfront", action="store_true")
+    ap.add_argument("--exact-upfront", action="store_true")
+    ap.add_argument("--seed-boost", type=int, default=None,
+                    help="re-seed rounds fire past this avg hits/seed "
+                         "(default 300, bt2_search.cpp:490)")
+    ap.add_argument("--454", "--ion-torrent", dest="noisy_hpoly",
+                    action="store_true",
+                    help="homopolymer-noise gap penalties (RDG/RFG 3,1)")
     ap.add_argument("--xeq", action="store_true")
     ap.add_argument("--end-to-end", dest="local", action="store_false",
                     default=None)
@@ -145,10 +165,25 @@ def _build_align_parser():
     ap.add_argument("--al-conc", default=None)
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--no-unal", action="store_true")
-    ap.add_argument("--no-head", action="store_true")
-    ap.add_argument("--no-sq", action="store_true")
-    ap.add_argument("--rg-id", default=None)
-    ap.add_argument("--rg", action="append", default=[])
+    ap.add_argument("--no-head", "--no-hd", "--sam-nohead", "--sam-no-hd",
+                    dest="no_head", action="store_true")
+    ap.add_argument("--no-sq", "--sam-nosq", "--sam-no-sq", dest="no_sq",
+                    action="store_true")
+    ap.add_argument("--rg-id", "--sam-rg-id", dest="rg_id", default=None)
+    ap.add_argument("--rg", "--sam-rg", dest="rg", action="append",
+                    default=[])
+    ap.add_argument("--omit-sec-seq", "--sam-omit-sec-seq",
+                    dest="omit_sec_seq", action="store_true",
+                    help="print '*' for SEQ/QUAL of secondary alignments")
+    ap.add_argument("--sam-no-qname-trunc", action="store_true",
+                    help="do not truncate read names at whitespace")
+    ap.add_argument("--sam-append-comment", action="store_true",
+                    help="append FASTQ/FASTA comment to the SAM record")
+    ap.add_argument("--refidx", action="store_true",
+                    help="refer to reference sequences by 0-based index")
+    ap.add_argument("--fullref", action="store_true",
+                    help="print whole reference name (not just up to the "
+                         "first whitespace)")
     ap.add_argument("-t", "--time", dest="timing", action="store_true")
     ap.add_argument("--met-file", default=None)
     ap.add_argument("--met-stderr", action="store_true")
@@ -156,7 +191,8 @@ def _build_align_parser():
     ap.add_argument("--reorder", action="store_true")   # always ordered
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-p", "--threads", type=int, default=1)
-    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--batch", "--reads-per-batch", dest="batch",
+                    type=int, default=None)
     ap.add_argument("--mm", action="store_true")        # index sharing n/a
     ap.add_argument("--qc-filter", action="store_true")
     ap.add_argument("--pipeline-depth", type=int, default=None,
@@ -221,9 +257,26 @@ def cmd_align(argv):
                        ("no_1mm_upfront", "no_1mm"), ("xeq", "xeq"),
                        ("sam_xt", "sam_xt"),
                        ("sc_unmapped_tlen", "sc_unmapped_tlen"),
-                       ("ignore_quals", "ignore_quals")):
+                       ("ignore_quals", "ignore_quals"),
+                       ("no_exact_upfront", "no_exact"),
+                       ("omit_sec_seq", "omit_sec_seq"),
+                       ("sam_no_qname_trunc", "sam_no_qname_trunc"),
+                       ("sam_append_comment", "sam_append_comment")):
         if getattr(args, flag):
             overrides[attr] = True
+    if args.seed_boost is not None:
+        overrides["seed_boost"] = args.seed_boost
+    if args.seed:
+        overrides["rng_seed"] = args.seed
+    if args.non_deterministic:
+        overrides["non_deterministic"] = True
+    if args.noisy_hpoly:
+        # --454/--ion-torrent: homopolymer-noise gap penalties (scoring.h
+        # DEFAULT_*_GAP_*_BADHPOLY; explicit --rdg/--rfg still override)
+        overrides.setdefault("read_gap_open", 3)
+        overrides.setdefault("read_gap_extend", 1)
+        overrides.setdefault("ref_gap_open", 3)
+        overrides.setdefault("ref_gap_extend", 1)
     if args.sc_unmapped_tlen and not args.local:
         ap.error("--soft-clipped-unmapped-tlen can only be set for local "
                  "alignments")
@@ -272,6 +325,12 @@ def cmd_align(argv):
     else:
         print(f"error: no index found at {args.index}", file=sys.stderr)
         return 1
+    # --refidx / --fullref are accepted but inert, matching the 2.5.5
+    # binary (probed): SAM output prints the stored (first-whitespace-
+    # token) names regardless — both builders truncate at index time
+    # (ref_read.cpp), so there is no full name to print back.
+    data.ref_names = [n.split()[0] if n.split() else n
+                      for n in data.ref_names]
     paired = bool((args.mate1 is not None and args.mate2 is not None)
                   or args.interleaved or args.tab5 or args.tab6)
     if args.batch is None:
@@ -305,7 +364,9 @@ def cmd_align(argv):
                 sam_cfg[tok[1:].lower()] = False
             else:
                 sam_cfg[tok.lower()] = True
-    raw_mode = not paired and sam_cfg is None and not args.sam_xt
+    raw_mode = (not paired and sam_cfg is None and not args.sam_xt
+                and not args.omit_sec_seq and not args.sam_append_comment
+                and not args.sam_no_qname_trunc)
     rg_suffix = f"\tRG:Z:{args.rg_id}".encode() if args.rg_id else b""
 
     if not args.unpaired and not paired and not args.bam:
@@ -357,6 +418,55 @@ def cmd_align(argv):
                            raw=args.raw_reads, solexa=args.solexa_quals,
                            int_quals=args.int_quals)
 
+    # --trim-to [3:|5:]N: hard-trim reads above N bp from the given end
+    # AFTER -5/-3 (pat.h:1219 finalize order); 3' is the default end
+    trim_to = None
+    if args.trim_to is not None:
+        spec = args.trim_to
+        if ":" in spec:
+            end_s, n_s = spec.split(":", 1)
+            if end_s not in ("3", "5"):
+                ap.error("--trim-to: trim position must be either 3 or 5")
+            trim_to = (int(end_s), int(n_s))
+        else:
+            trim_to = (3, int(spec))
+        if trim_to[1] < 0:
+            ap.error("--trim-to: the number of bases to trim must be >= 0")
+    if args.sample is not None and args.non_deterministic:
+        ap.error("--sample requires content-derived read seeds")
+
+    def _trim_to(rec):
+        if trim_to is None or rec.seq.size <= trim_to[1]:
+            return rec
+        if trim_to[0] == 3:
+            rec.seq = rec.seq[:trim_to[1]]
+            rec.qual = rec.qual[:trim_to[1]]
+        else:
+            rec.seq = rec.seq[rec.seq.size - trim_to[1]:]
+            rec.qual = rec.qual[rec.qual.size - trim_to[1]:]
+        return rec
+
+    _sample_frac = None
+    if args.sample is not None and args.sample < 1.0:
+        import numpy as np
+        from bowtie2_tpu.pipeline.rng import (RefRng, gen_rand_seed,
+                                              rng_name)
+        _sample_frac = np.float32(args.sample)
+
+    def _sampled_out(rec):
+        """--sample: rnd.init(ROTL(read.seed, 2)); nextFloat() < frac
+        (bt2_search.cpp:3274-3277); skipped reads produce NO output.
+
+        Reference quirk preserved: the ROTL macro is ROTL(n, x) =
+        rotate x left by n (bt2_search.cpp:2869), so the call site
+        actually rotates the CONSTANT 2 by `seed` bits — the sampling
+        RNG has only 32 possible states, 1 << ((seed + 1) & 31)."""
+        seed = gen_rand_seed(rec.seq, rec.qual + 33, rng_name(rec),
+                             seed=args.seed)
+        rot = 1 << ((int(seed) + 1) & 31)
+        f = np.float32(RefRng(rot).next_u32()) / np.float32(0xFFFFFFFF)
+        return not (f < _sample_frac)
+
     # -s/-u slicing and -5/-3 trimming
     def _sliced(it):
         n = 0
@@ -367,11 +477,60 @@ def cmd_align(argv):
                 return
             n += 1
             if paired:
-                yield (trim_record(rec[0], args.trim5, args.trim3),
-                       trim_record(rec[1], args.trim5, args.trim3))
+                rec = (_trim_to(trim_record(rec[0], args.trim5, args.trim3)),
+                       _trim_to(trim_record(rec[1], args.trim5, args.trim3)))
             else:
-                yield trim_record(rec, args.trim5, args.trim3)
+                rec = _trim_to(trim_record(rec, args.trim5, args.trim3))
+            # --sample draws on the final (trimmed) read's seed
+            if _sample_frac is not None and _sampled_out(
+                    rec[0] if paired else rec):
+                continue
+            yield rec
     reader = _sliced(reader)
+
+    def _illumina_comment(c: str) -> bool:
+        """sam.h:429 isIllumina: walk the comment's first space-token and
+        check colon-separated fields look like '1:N:0:...' (read 1|2,
+        Y/N, even control number; a 4th colon fails; NO colons passes)."""
+        start, fld = 0, 0
+        for j, ch in enumerate(c):
+            if ch == ' ':
+                break
+            if ch == ':':
+                tok = c[start:j]
+                if fld == 0:
+                    try:
+                        if int(tok) not in (1, 2):
+                            return False
+                    except ValueError:
+                        return False
+                elif fld == 1:
+                    if not tok or tok[0] not in "NY":
+                        return False
+                elif fld == 2:
+                    try:
+                        if int(tok) % 2 != 0:
+                            return False
+                    except ValueError:
+                        return False
+                else:
+                    return False
+                start, fld = j + 1, fld + 1
+        return True
+
+    def _sam_extras(r, src):
+        """--omit-sec-seq / --sam-no-qname-trunc / --sam-append-comment
+        record transforms (sam.cpp omitSecSeq/truncQname, sam.h:416
+        printComment — note the reference appends the tab even when the
+        read has no comment)."""
+        if args.omit_sec_seq and (r.flag & 0x100):
+            r.seq, r.qual = "*", "*"
+        if args.sam_no_qname_trunc and src.comment:
+            r.qname = f"{src.name} {src.comment}"
+        if args.sam_append_comment:
+            c = src.comment or ""
+            pre = "BC:Z:" if c and _illumina_comment(c) else ""
+            r.raw_tags = (r.raw_tags or "") + "\t" + pre + c
 
     # --un/--al read dumps (reference: wrapper-script splitting)
     from bowtie2_tpu.io.sam import FLAG_UNMAPPED, write_fastq_record
@@ -499,6 +658,11 @@ def cmd_align(argv):
                     if sam_cfg is not None:
                         r.opts = [o for o in r.opts
                                   if sam_cfg.get(o[0].lower(), True)]
+                    if (args.omit_sec_seq or args.sam_no_qname_trunc
+                            or args.sam_append_comment):
+                        src = (window[i][1] if paired and (r.flag & 0x80)
+                               else window[i][0] if paired else window[i])
+                        _sam_extras(r, src)
                     writer.write(r)
                 conc = all((g.flag & 0x2) for g in group[:2])
                 if unc_f and not conc:

@@ -26,6 +26,8 @@ class SeqRecord:
     qual: np.ndarray  # uint8 phred scores (0..41+); 40s if FASTA
     qc_fail: bool = False  # upstream QC flag (qseq field 11 + --qc-filter)
     tags: str = None       # --preserve-tags: input BAM aux fields as SAM text
+    comment: str = None    # header text after the first whitespace
+                           # (--sam-no-qname-trunc / --sam-append-comment)
 
 
 def _open_text(path: str):
@@ -76,8 +78,11 @@ def _open_text(path: str):
     return io.BufferedReader(f)  # pipe/FIFO: rely on extension
 
 
-def read_fasta(path: str, _fh=None) -> List[Tuple[str, np.ndarray]]:
-    """Parse FASTA → [(name, codes uint8 incl N)]. Name is first whitespace token."""
+def read_fasta(path: str, _fh=None,
+               full_names: bool = False) -> List[Tuple[str, np.ndarray]]:
+    """Parse FASTA → [(name, codes uint8 incl N)]. Name is the first
+    whitespace token unless full_names (index builds keep the whole
+    header so --fullref can print it at align time, sam.cpp fullRef)."""
     out = []
     name = None
     chunks: List[bytes] = []
@@ -87,7 +92,10 @@ def read_fasta(path: str, _fh=None) -> List[Tuple[str, np.ndarray]]:
             if line.startswith(b">"):
                 if name is not None:
                     out.append((name, encode_seq(b"".join(chunks))))
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                hdr = line[1:]
+                name = ((hdr.decode().strip() if full_names
+                         else hdr.split()[0].decode())
+                        if hdr.strip() else "")
                 chunks = []
             elif line:
                 chunks.append(line)
@@ -133,10 +141,20 @@ def iter_fastq(path: str, qual_offset: int = 33, _fh=None,
                      - (64 if solexa else qual_offset))
             if solexa and not int_quals:
                 q = _SOLEXA_TO_PHRED[np.clip(q, -64, 64) + 64]
+            # split on the FIRST whitespace char only: the reference's
+            # Read.name is the whole header line, so the comment must be
+            # reconstructable verbatim (genRandSeed hashes the full name)
+            buf = h[1:]
+            sp = -1
+            for j, b in enumerate(buf):
+                if b in (32, 9):
+                    sp = j
+                    break
             yield SeqRecord(
-                name=h[1:].split()[0].decode(),
+                name=(buf if sp < 0 else buf[:sp]).decode(),
                 seq=encode_seq(seq),
                 qual=np.clip(q, 0, 62).astype(np.uint8),
+                comment=buf[sp + 1:].decode() if sp >= 0 else None,
             )
 
 

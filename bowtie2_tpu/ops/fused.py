@@ -227,7 +227,7 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
           live_or, params: SWParams, band: int, seed_len: int,
           ftab_chars: int, half_ftab: int, period: int, T: int,
           NC: int, n1: bool, max_exact_rows: int, no_1mm: bool,
-          track_origin: bool = False):
+          no_exact: bool = False, track_origin: bool = False):
     """Shared pipeline phases 1-4: searches → slots → SA resolve → DP.
 
     Returns a dict of intermediates; fused_se ranks/backtraces from it,
@@ -308,6 +308,8 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
 
     # ---------------- phase 3a: slot assembly ----------------
     sweep_bot = sweep.bot
+    if no_exact:   # --no-exact-upfront: drop the exact-sweep phase
+        sweep_bot = sweep.top
     if live_or is not None:
         # strand suppression: dead orientation rows get empty SA ranges
         sweep_bot = jnp.where(live_or, sweep_bot, sweep.top)
@@ -440,14 +442,15 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
 
 @partial(jax.jit, static_argnames=(
     "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
-    "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm"))
+    "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm",
+    "no_exact"))
 def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
              jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
              live_or=None,
              *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
              half_ftab: int, period: int, T: int, kk: int, kk_bt: int,
              NC: int, n1: bool, max_exact_rows: int = 4,
-             no_1mm: bool = False) -> FusedResult:
+             no_1mm: bool = False, no_exact: bool = False) -> FusedResult:
     """Whole single-end batch pipeline in one device program.
 
     jboth/jquals: (2B, Lmax) int32 fw+rc codes / quals; lens: (B,);
@@ -461,7 +464,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     cx = _core(half, ref_words, refn_words, seg, jboth, jquals, lens,
                offs_all, valid_all, minsc, live_read, live_or, params,
                band, seed_len, ftab_chars, half_ftab, period, T, NC, n1,
-               max_exact_rows, no_1mm)
+               max_exact_rows, no_1mm, no_exact)
     G = band
     B = cx["B"]
     (slot_or, flat_valid, perm, live_c, c_or, c_rid, wins, astart,
@@ -573,14 +576,15 @@ class FusedPEResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
-    "T", "NC", "n1", "max_exact_rows", "no_1mm"))
+    "T", "NC", "n1", "max_exact_rows", "no_1mm", "no_exact"))
 def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
              jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
              live_or=None,
              *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
              half_ftab: int, period: int, T: int,
              NC: int, n1: bool, max_exact_rows: int = 4,
-             no_1mm: bool = False) -> FusedPEResult:
+             no_1mm: bool = False,
+             no_exact: bool = False) -> FusedPEResult:
     """Paired-end search half of the pipeline in one device program.
 
     Same phases 1-4 as fused_se over a 2*Bpairs-read batch (mate1 rows
@@ -598,7 +602,7 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
     cx = _core(half, ref_words, refn_words, seg, jboth, jquals, lens,
                offs_all, valid_all, minsc, live_read, live_or, params,
                band, seed_len, ftab_chars, half_ftab, period, T, NC, n1,
-               max_exact_rows, no_1mm, track_origin=True)
+               max_exact_rows, no_1mm, no_exact, track_origin=True)
     B, T_ = cx["B"], cx["slot_valid"].shape[1]
     res = cx["res"]
     live_c, perm = cx["live_c"], cx["perm"]

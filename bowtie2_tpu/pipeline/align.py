@@ -451,6 +451,8 @@ class BatchAligner:
             sh_off, sh_mlen, sh_tb_d = self._seed_half_search(
                 fw, rc, seed_off, seed_or)
         sw_top, sw_bot, sw_ned = np.asarray(sweep_d)
+        if pol.no_exact:   # --no-exact-upfront: drop the exact-sweep phase
+            sw_bot = sw_top.copy()
         cs.ee_elts = np.where((sw_ned == 0) & (sw_bot > sw_top),
                               sw_bot - sw_top, 0)
         st_bt = np.asarray(seed_tb_d)
@@ -1284,7 +1286,13 @@ class UnpairedAligner(BatchAligner):
             ok = jpos[s0:s0 + wt] + L <= \
                 self._seg_end_joined[seg[s0:s0 + wt]]
             rec = batch.records[ri]
-            seed = gen_rand_seed(rec.seq, rec.qual + 33, rec.name)
+            if pol.non_deterministic:
+                import random as _random
+                seed = _random.getrandbits(32)
+            else:
+                from bowtie2_tpu.pipeline.rng import rng_name
+                seed = gen_rand_seed(rec.seq, rec.qual + 33, rng_name(rec),
+                                     seed=pol.rng_seed)
             res = replay_ee_read(int(seed), wt if ori == 0 else 0,
                                  0 if ori == 0 else wt,
                                  ok if ori == 0 else ok[:0],
@@ -1356,7 +1364,13 @@ class UnpairedAligner(BatchAligner):
             ok = jpos[s0:s0 + wf + wr] + L <= \
                 self._seg_end_joined[seg[s0:s0 + wf + wr]]
             rec = records[ri]
-            seed = gen_rand_seed(rec.seq, rec.qual + 33, rec.name)
+            if pol.non_deterministic:
+                import random as _random
+                seed = _random.getrandbits(32)
+            else:
+                from bowtie2_tpu.pipeline.rng import rng_name
+                seed = gen_rand_seed(rec.seq, rec.qual + 33, rng_name(rec),
+                                     seed=pol.rng_seed)
             res = replay_ee_read(int(seed), wf, wr, ok[:wf], ok[wf:],
                                  pol.khits, pol.mhits, pol.all_hits)
             if res is None:
@@ -1424,7 +1438,8 @@ class UnpairedAligner(BatchAligner):
             ftab_chars=self.data.fw.ftab_chars,
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
             period=1 << self.data.off_rate, T=T, kk=kk, kk_bt=kk_bt,
-            NC=NC, n1=pol.seed_mms >= 1, no_1mm=getattr(pol, "no_1mm", False))
+            NC=NC, n1=pol.seed_mms >= 1, no_1mm=getattr(pol, "no_1mm", False),
+            no_exact=getattr(pol, "no_exact", False))
         if self.shard_mesh is not None:
             key = tuple(sorted(statics.items()))
             if key not in self._shard_fns:
@@ -1919,7 +1934,7 @@ class UnpairedAligner(BatchAligner):
         if drop:
             cs.valid[np.array(drop, np.int64)] = False
 
-    SEED_BOOST_THRESH = 300    # bt2_search.cpp:490 seedBoostThresh
+
 
     def _align_batch_host(self, records: Sequence[SeqRecord],
                           nrounds: int = 1,
@@ -2049,7 +2064,7 @@ class UnpairedAligner(BatchAligner):
                      if ri not in repl and not cs.filtered[ri]
                      and cs.seed_nz[ri] > 0
                      and cs.seed_elts[ri] / cs.seed_nz[ri]
-                     >= self.SEED_BOOST_THRESH]
+                     >= self.pol.seed_boost]
             if gated:
                 sub = self._align_batch_host([records[i] for i in gated],
                                              nrounds=pol.seed_rounds,
@@ -2163,7 +2178,8 @@ class PairedAligner(BatchAligner):
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
             period=1 << self.data.off_rate, T=T,
             NC=NC, n1=pol.seed_mms >= 1,
-            no_1mm=getattr(pol, "no_1mm", False))
+            no_1mm=getattr(pol, "no_1mm", False),
+            no_exact=getattr(pol, "no_exact", False))
         batch_args = (jboth, jquals, self._put(lens),
                       self._put(offs_all), self._put(valid_all),
                       self._put(minsc.astype(np.int32)), self._put(live),

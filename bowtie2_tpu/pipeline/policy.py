@@ -115,6 +115,22 @@ class Policy:
     # --sam-xt: XT:i elapsed-us opt field (batch-amortized analog of the
     # reference's per-read timing, bt2_search.cpp:3305)
     sam_xt: bool = False
+    # --no-exact-upfront: skip the exact end-to-end sweep phase
+    # (bt2_search.cpp:252 doExactUpFront)
+    no_exact: bool = False
+    # --seed-boost: averageHitsPerSeed threshold gating re-seed rounds
+    # (bt2_search.cpp:490 seedBoostThresh)
+    seed_boost: int = 300
+    # --omit-sec-seq: '*' SEQ/QUAL on secondary (0x100) records
+    omit_sec_seq: bool = False
+    # --sam-no-qname-trunc / --sam-append-comment (sam.cpp truncQname /
+    # appendComment)
+    sam_no_qname_trunc: bool = False
+    sam_append_comment: bool = False
+    # --seed: base for genRandSeed (pat.cpp:45); --non-deterministic uses
+    # arbitrary per-read seeds instead (bt2_search.cpp:3270 rndArb)
+    rng_seed: int = 0
+    non_deterministic: bool = False
 
     def sw_params(self) -> SWParams:
         return SWParams(

@@ -88,6 +88,13 @@ def rotl32(x: int, n: int) -> int:
     return ((x << n) | (x >> (32 - n))) & M32
 
 
+def rng_name(rec) -> str:
+    """The reference's Read.name is the WHOLE header line (pat.cpp:1147
+    reads until newline), so per-read seeds hash any comment too."""
+    c = getattr(rec, "comment", None)
+    return rec.name if not c else f"{rec.name} {c}"
+
+
 def gen_rand_seed(codes: Sequence[int], quals: Sequence[int], name: str,
                   seed: int = 0) -> int:
     """pat.cpp:45 genRandSeed.
