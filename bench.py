@@ -147,7 +147,7 @@ def main():
               flush=True)
     from bowtie2_tpu.index.build import build_index, load_index, save_index
     from bowtie2_tpu.io.fastx import iter_reads
-    from bowtie2_tpu.pipeline.align import UnpairedAligner, _bucket
+    from bowtie2_tpu.pipeline.align import UnpairedAligner, bucket_groups
     from bowtie2_tpu.pipeline.policy import make_policy
 
     if not os.path.exists(IDX_PREFIX + ".bt2t.json"):
@@ -159,9 +159,7 @@ def main():
         # timeout — the number is a liveness marker, not a TPU claim
 
     def run(aligner, batch=8192):
-        by_bucket = {}
-        for i, rec in enumerate(records):
-            by_bucket.setdefault(_bucket(max(rec.seq.size, 1)), []).append(i)
+        by_bucket = bucket_groups([r.seq.size for r in records])
         n = 0
         handles = []
         for bkt in sorted(by_bucket):
@@ -252,11 +250,15 @@ def main():
             try:
                 from bowtie2_tpu.pipeline.align import PairedAligner
                 pairs = list(zip(iter_reads(ECOLI_PE1), iter_reads(ECOLI_PE2)))
+                # batch divides the corpus exactly: a ragged tail batch
+                # would compile a second fused-PE shape inside the timed
+                # region (round-2 failure mode); Bp pads 3125 -> 4096
+                PB = 3125
                 pa = PairedAligner(edata, make_policy("sensitive"))
-                pa.align_pairs_fast(pairs[:8192])   # warmup/compile
+                pa.align_pairs_fast(pairs[:PB], batch=PB)   # warmup/compile
                 t0 = time.time()
                 pa2 = PairedAligner(edata, make_policy("sensitive"))
-                n = pa2.align_pairs_fast(pairs)
+                n = pa2.align_pairs_fast(pairs, batch=PB)
                 pe_pps = len(pairs) / (time.time() - t0)
                 extra["ecoli_pe_pairs_per_sec"] = round(pe_pps, 1)
                 extra["ecoli_pe_vs_baseline"] = round(

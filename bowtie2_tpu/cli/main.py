@@ -216,7 +216,7 @@ def cmd_align(argv):
             yield from iter_qseq(pth, qc_filter=qc)
     from bowtie2_tpu.io.sam import SamWriter
     from bowtie2_tpu.pipeline.align import (PairedAligner, UnpairedAligner,
-                                            _bucket)
+                                            _bucket, bucket_groups)
     from bowtie2_tpu.pipeline.policy import SimpleFunc, make_policy
 
     if args.seed_mms not in (None, 0, 1):
@@ -570,11 +570,12 @@ def cmd_align(argv):
             done = True
         if not window:
             break
-        by_bucket = {}
-        for i, rec in enumerate(window):
-            ln = max(rec[0].seq.size, rec[1].seq.size) if paired \
-                else rec.seq.size
-            by_bucket.setdefault(_bucket(max(ln, 1)), []).append(i)
+        if paired:
+            lens_w = [max(rec[0].seq.size, rec[1].seq.size)
+                      for rec in window]
+        else:
+            lens_w = [rec.seq.size for rec in window]
+        by_bucket = bucket_groups(lens_w)
         results = [None] * len(window)
         chunks = []
         for bkt in sorted(by_bucket):

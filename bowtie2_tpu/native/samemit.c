@@ -322,3 +322,110 @@ void pad_reads_c(const int8_t *allseq, const int8_t *allq,
         memset(rq + L, 0, Lmax - L);
     }
 }
+
+/* ---------------- paired-end SAM tail builder ----------------
+ *
+ * Builds everything after QNAME for PE records from PRE-BUILT CIGAR/MD
+ * strings (the host synthesizes gapless ones from the reference words and
+ * batch-decodes the rare gapped ones), plus the PE columns the unpaired
+ * builder lacks: RNEXT/PNEXT/TLEN, YS:i and the YT:Z pair-class.
+ *
+ *   mode: 0 unaligned, 1 aligned, 2..5 unaligned + YF:Z:{NS,LN,QC,SC}
+ *   rname_i / rnext_i: -1 -> '*', -2 -> '=', else name-table index
+ *   opt_xs / ys: INT32_MIN -> omit
+ *   yt: 0 UU, 1 CP, 2 DP, 3 UP
+ * Unaligned records with rname_i >= 0 print the mate-echo convention
+ * (RNAME/POS from the arrays, MAPQ 0, CIGAR '*'). */
+int sam_tails_pe(const int8_t *mode,
+                 const int32_t *flag, const int32_t *rname_i,
+                 const int32_t *pos, const int32_t *mapq,
+                 const int32_t *rnext_i, const int32_t *pnext,
+                 const int32_t *tlen,
+                 const int32_t *opt_as, const int32_t *opt_xs,
+                 const int32_t *xn, const int32_t *xm,
+                 const int32_t *xo, const int32_t *xg,
+                 const int32_t *ys, const int8_t *yt,
+                 const int8_t *codes, const int8_t *quals,
+                 const int32_t *rdlen, int64_t Lmax,
+                 const char *cig_blob, const int64_t *cig_off,
+                 const char *md_blob, const int64_t *md_off,
+                 const char *names, const int32_t *name_off,
+                 const char *suffix, int64_t n,
+                 char *out, int64_t stride, int32_t *outlen) {
+    static const char *YT[4] = { "UU", "CP", "DP", "UP" };
+    static const char *YF[4] = { "NS", "LN", "QC", "SC" };
+    int bad = 0;
+    size_t suffix_len = strlen(suffix);
+    for (int64_t r = 0; r < n; r++) {
+        char *p = out + r * stride;
+        int L = rdlen[r];
+        long cl = cig_off[r + 1] - cig_off[r];
+        long ml = md_off[r + 1] - md_off[r];
+        if (2L * L + cl + ml + 200 + (long)suffix_len > stride) {
+            outlen[r] = 0; bad++; continue;
+        }
+        *p++ = '\t';
+        p = put_i32(p, flag[r]); *p++ = '\t';
+        if (rname_i[r] >= 0) {
+            const char *nm = names + name_off[rname_i[r]];
+            size_t nl = name_off[rname_i[r] + 1] - name_off[rname_i[r]];
+            memcpy(p, nm, nl); p += nl; *p++ = '\t';
+            p = put_i32(p, pos[r]); *p++ = '\t';
+            p = put_i32(p, mode[r] == 1 ? mapq[r] : 0); *p++ = '\t';
+        } else {
+            memcpy(p, "*\t0\t0\t", 6); p += 6;
+        }
+        if (mode[r] == 1) {
+            memcpy(p, cig_blob + cig_off[r], cl); p += cl;
+        } else {
+            *p++ = '*';
+        }
+        *p++ = '\t';
+        if (rnext_i[r] == -2) { *p++ = '='; }
+        else if (rnext_i[r] < 0) { *p++ = '*'; }
+        else {
+            const char *nm = names + name_off[rnext_i[r]];
+            size_t nl = name_off[rnext_i[r] + 1] - name_off[rnext_i[r]];
+            memcpy(p, nm, nl); p += nl;
+        }
+        *p++ = '\t';
+        p = put_i32(p, pnext[r]); *p++ = '\t';
+        p = put_i32(p, tlen[r]); *p++ = '\t';
+        const int8_t *cd = codes + r * Lmax;
+        for (int k = 0; k < L; k++) *p++ = SEQ_CHARS[cd[k] & 15];
+        *p++ = '\t';
+        const int8_t *q = quals + r * Lmax;
+        for (int k = 0; k < L; k++) *p++ = (char)(q[k] + 33);
+        if (mode[r] == 1) {
+            memcpy(p, "\tAS:i:", 6); p += 6; p = put_i32(p, opt_as[r]);
+            if (opt_xs[r] != INT32_MIN) {
+                memcpy(p, "\tXS:i:", 6); p += 6; p = put_i32(p, opt_xs[r]);
+            }
+            memcpy(p, "\tXN:i:", 6); p += 6; p = put_i32(p, xn[r]);
+            memcpy(p, "\tXM:i:", 6); p += 6; p = put_i32(p, xm[r]);
+            memcpy(p, "\tXO:i:", 6); p += 6; p = put_i32(p, xo[r]);
+            memcpy(p, "\tXG:i:", 6); p += 6; p = put_i32(p, xg[r]);
+            memcpy(p, "\tNM:i:", 6); p += 6; p = put_i32(p, xm[r] + xg[r]);
+            memcpy(p, "\tMD:Z:", 6); p += 6;
+            memcpy(p, md_blob + md_off[r], ml); p += ml;
+            if (ys[r] != INT32_MIN) {
+                memcpy(p, "\tYS:i:", 6); p += 6; p = put_i32(p, ys[r]);
+            }
+            memcpy(p, "\tYT:Z:", 6); p += 6;
+            memcpy(p, YT[yt[r] & 3], 2); p += 2;
+        } else {
+            if (ys[r] != INT32_MIN) {
+                memcpy(p, "\tYS:i:", 6); p += 6; p = put_i32(p, ys[r]);
+            }
+            memcpy(p, "\tYT:Z:", 6); p += 6;
+            memcpy(p, YT[yt[r] & 3], 2); p += 2;
+            if (mode[r] >= 2 && mode[r] <= 5) {
+                memcpy(p, "\tYF:Z:", 6); p += 6;
+                memcpy(p, YF[mode[r] - 2], 2); p += 2;
+            }
+        }
+        memcpy(p, suffix, suffix_len); p += suffix_len;
+        outlen[r] = (int32_t)(p - (out + r * stride));
+    }
+    return bad;
+}

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from bowtie2_tpu.index.fmindex import FMHalf
 from bowtie2_tpu.ops import fm
 from bowtie2_tpu.ops.ref import aligned_width, gather_windows_aligned
-from bowtie2_tpu.ops.sw import SWParams, backtrace, sw_banded
+from bowtie2_tpu.ops.sw import (OP_NONE, SWParams, backtrace, diag_readout,
+                                sw_banded)
 
 NEG = jnp.int32(-(1 << 29))
 BIGKEY = jnp.int32(1 << 29)
@@ -508,15 +509,62 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     ch_ci = jnp.where(ch_ok,
                       jnp.take_along_axis(cpos_sl, ch_slot, axis=1),
                       0).T.reshape(-1)                           # (Bc,)
-    bt = backtrace.__wrapped__(
-        res.dirs, ch_ci,
-        jnp.take(res.row, ch_ci), jnp.take(res.lane, ch_ci),
-        jnp.take(jreads_c, ch_ci, axis=0), jnp.take(jquals_c, ch_ci, axis=0),
-        jnp.take(wins, ch_ci, axis=0), params, G)
-
     ch_okf = ch_ok.T.reshape(-1)
+    rows_sel = jnp.take(res.row, ch_ci)
+    lanes_sel = jnp.take(res.lane, ch_ci)
+    reads_sel = jnp.take(jreads_c, ch_ci, axis=0)
+    quals_sel = jnp.take(jquals_c, ch_ci, axis=0)
+    wins_sel = jnp.take(wins, ch_ci, axis=0)
+    Bc = ch_ci.shape[0]
+    if params.local:
+        # local mode: soft-clipped starts need the walk for every record
+        bt = backtrace.__wrapped__(res.dirs, ch_ci, rows_sel, lanes_sel,
+                                   reads_sel, quals_sel, wins_sel, params, G)
+        ops_full = bt.ops
+        rdstart, refstart = bt.read_start, bt.ref_start_win
+        nmm, ngo, ngc, nrefn = bt.n_mm, bt.n_go, bt.n_gc, bt.n_refn
+        sccheck = bt.score_check
+        n_btdrop = jnp.zeros((), jnp.int32)
+    else:
+        # gapless fast path: candidates whose best score equals the pure
+        # diagonal score at their best cell walk that diagonal exactly
+        # (DIAG wins forward ties) — synthesize their op stream in one
+        # vectorized readout and scan-walk only the gapped remainder,
+        # compacted to an NBT budget (overflow → host unfused fallback)
+        lens_sel = rows_sel + 1                       # e2e: row = len-1
+        (ops_syn, dscore, s_nmm, s_nrefn, s_base, gok) = diag_readout(
+            reads_sel, quals_sel, wins_sel, rows_sel, lanes_sel,
+            lens_sel, params)
+        gapless = ch_okf & gok & (dscore == jnp.take(res.score, ch_ci))
+        need_bt = ch_okf & ~gapless
+        NBT = max(Bc // 4, 64)
+        bkeys = jnp.where(need_bt, jnp.arange(Bc, dtype=jnp.int32),
+                          jnp.int32(BIGKEY))
+        gperm = jnp.argsort(bkeys)[:NBT]
+        glive = jnp.take(bkeys, gperm) < BIGKEY
+        gci = jnp.take(ch_ci, gperm)
+        bt = backtrace.__wrapped__(
+            res.dirs, gci, jnp.take(res.row, gci), jnp.take(res.lane, gci),
+            jnp.take(jreads_c, gci, axis=0), jnp.take(jquals_c, gci, axis=0),
+            jnp.take(wins, gci, axis=0), params, G)
+        pos = jnp.where(glive, gperm, Bc)             # dead -> dropped
+        S_bt = bt.ops.shape[0]
+        ops_full = jnp.full((S_bt, Bc), OP_NONE, jnp.uint8)
+        ops_full = ops_full.at[:ops_syn.shape[0]].set(ops_syn)
+        ops_full = ops_full.at[:, pos].set(bt.ops, mode="drop")
+        z = jnp.zeros(Bc, jnp.int32)
+        rdstart = z.at[pos].set(bt.read_start, mode="drop")
+        refstart = s_base.at[pos].set(bt.ref_start_win, mode="drop")
+        nmm = s_nmm.at[pos].set(bt.n_mm, mode="drop")
+        ngo = z.at[pos].set(bt.n_go, mode="drop")
+        ngc = z.at[pos].set(bt.n_gc, mode="drop")
+        nrefn = s_nrefn.at[pos].set(bt.n_refn, mode="drop")
+        sccheck = dscore.at[pos].set(bt.score_check, mode="drop")
+        n_btdrop = jnp.maximum(
+            jnp.sum(need_bt.astype(jnp.int32), dtype=jnp.int32) - NBT, 0)
+
     g_start = jnp.take(astart, ch_ci) \
-        + bt.ref_start_win.astype(astart.dtype)
+        + refstart.astype(astart.dtype)
     ch_rid = jnp.take(c_rid, ch_ci).astype(jnp.int32)
     roff = (g_start - jnp.take(seg.ref_cum, ch_rid)).astype(jnp.int32)
     # exact end-to-end sweep ranges (per orientation, rows split into two
@@ -543,17 +591,19 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         r_score.T.reshape(-1), r_valid.T.reshape(-1).astype(jnp.int32),
         ch_okf.astype(jnp.int32),
         jnp.take(c_or, ch_ci), ch_rid, roff,
-        bt.read_start, jnp.take(res.row, ch_ci) + 1,
-        bt.n_mm, bt.n_go, bt.n_gc, bt.n_refn, bt.score_check,
+        rdstart, rows_sel + 1,
+        nmm, ngo, ngc, nrefn, sccheck,
         jnp.take(c_score, ch_ci),
-        # n_dropped: candidates beyond the NC DP budget (host falls back to
-        # the reference-order-preserving unfused path when nonzero)
-        jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32),
-                            dtype=jnp.int32) - NC, 0)[None],
+        # n_dropped: candidates beyond the NC DP budget or gapped
+        # backtraces beyond the NBT budget (host falls back to the
+        # reference-order-preserving unfused path when nonzero)
+        (jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32),
+                             dtype=jnp.int32) - NC, 0)
+         + n_btdrop)[None],
         ee_block,
     ]).astype(jnp.int32)
     blob = jnp.concatenate([
-        bt.ops.reshape(-1),
+        ops_full.reshape(-1),
         jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)])
     return FusedResult(blob)
 

@@ -460,6 +460,61 @@ def backtrace(dirs: jnp.ndarray, sel: jnp.ndarray, rows: jnp.ndarray,
     return BTResult(ops, read_start, refmin, nmm, ngo, ngc, nrefn, score)
 
 
+def diag_readout(reads: jnp.ndarray, quals: jnp.ndarray,
+                 refwins: jnp.ndarray, rows: jnp.ndarray,
+                 lanes: jnp.ndarray, lens: jnp.ndarray,
+                 params: SWParams):
+    """Vectorized gapless readout along the diagonal ending at (rows, lanes).
+
+    For an e2e candidate whose best score EQUALS the score of the pure
+    diagonal path ending at its best cell, the walked backtrace is exactly
+    that diagonal: the forward pass prefers DIAG on ties (sw_banded
+    src_noF/src), so score equality forces every dir bit on the diagonal
+    to DIAG (induction: H(i,j) = prefix(i) down the whole path). This
+    readout replaces the 168+-step scan `backtrace` for such candidates
+    with ONE gather + elementwise ops — the overwhelmingly common case on
+    real corpora (gapless alignments), leaving the scan walk for the rare
+    gapped candidates. Valid for non-local scoring only (local soft-clip
+    starts need the walk).
+
+    Returns (ops, dscore, n_mm, n_refn, ref_start_win, gapless_ok) where
+    ops is (Lmax, Bc) uint8 in walk order (read end → start; OP_NONE
+    after the read is exhausted) and gapless_ok says the diagonal is
+    fully inside the window and N-legal (caller must ALSO require
+    dscore == best score).
+    """
+    p = params
+    Bc, Lmax = reads.shape
+    Wf = refwins.shape[1]
+    base = lanes - rows                                   # start column
+    idx = base[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    inwin = (idx >= 0) & (idx < Wf)
+    diag = jnp.take_along_axis(refwins, jnp.clip(idx, 0, Wf - 1), axis=1)
+    diag = jnp.where(inwin, diag, 5)
+    live = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < lens[:, None]
+    is_n = (reads >= 4) | (diag == 4)
+    oob = diag >= 5
+    eq = (diag == reads) & ~is_n & ~oob
+    mmpen = mm_penalty_from_qual(quals, p)
+    sub = jnp.where(eq, p.match_bonus,
+                    jnp.where(is_n & ~oob, -p.n_pen, -mmpen))
+    dscore = jnp.sum(jnp.where(live & ~oob, sub, 0), axis=1)
+    gapless_ok = ~jnp.any(live & oob, axis=1)
+    n_mm = jnp.sum((live & (~eq & (reads < 4) & (diag != 4) | is_n))
+                   .astype(jnp.int32), axis=1)
+    n_refn = jnp.sum((live & (diag == 4)).astype(jnp.int32), axis=1)
+
+    # packed op bytes in walk order: step s emits read pos rows - s
+    rev = rows[:, None] - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    rev_ok = rev >= 0
+    revc = jnp.clip(rev, 0, Lmax - 1)
+    fc = jnp.take_along_axis(jnp.clip(diag, 0, 5), revc, axis=1)
+    ism = jnp.take_along_axis(eq.astype(jnp.int32), revc, axis=1)
+    opbyte = jnp.where(rev_ok, OP_M | (fc << 2) | (ism << 5),
+                       OP_NONE).astype(jnp.uint8)
+    return opbyte.T, dscore, n_mm, n_refn, base, gapless_ok
+
+
 # ---------------------- numpy oracle (for tests) ----------------------
 
 def sw_full_numpy(read, quals, refwin, p: SWParams):

@@ -55,14 +55,50 @@ from bowtie2_tpu.utils.metrics import Metrics
 
 # bucket spacing tuned on the lambda mix: coarser halves the per-bucket
 # fixed costs (scan launches), finer shrinks the quadratic DP pad; ~2x
-# spacing measured best (3.73s vs 4.36s fine / 4.23s coarse for 10k reads)
-LEN_BUCKETS = (96, 192, 384, 768, 1536, 3072, 8192)
+# spacing measured best (3.73s vs 4.36s fine / 4.23s coarse for 10k reads).
+# 128 added for the dominant Illumina 100-125 bp read lengths (a 192 pad
+# costs ~45% extra scan steps on an all-100bp corpus); sparse bucket
+# groups are merged upward at batch-planning time (bucket_groups) so the
+# finer spacing never adds dispatches on mixed-length corpora.
+LEN_BUCKETS = (96, 128, 192, 384, 768, 1536, 3072, 8192)
 
 BT_FIELDS = ("read_start", "ref_start_win", "n_mm", "n_go",
              "n_gc", "n_refn", "score_check")
 
 
 LONG_READ_MAX = 1 << 20      # 1 Mbp: sanity ceiling for the long path
+
+
+def bucket_groups(lengths, merge_below: int = 4096):
+    """Group read indices by length bucket for dispatch, merging sparse
+    groups into the next-present larger bucket.
+
+    Each device dispatch has a large fixed cost (the fused program is a
+    few hundred sequential scan steps; measured ~0.2 s/dispatch on v5e
+    regardless of batch rows), so padding a small group up one bucket is
+    cheaper than giving it its own program. Returns {bucket: [indices]}
+    with sorted keys insertion order."""
+    by = {}
+    for i, ln in enumerate(lengths):
+        by.setdefault(_bucket(max(int(ln), 1)), []).append(i)
+    bkts = sorted(by)
+    out = {}
+    pending = None          # (indices) waiting to merge upward
+    for j, b in enumerate(bkts):
+        idxs = by[b]
+        if pending is not None:
+            idxs = pending + idxs
+            pending = None
+        if len(idxs) < merge_below and j + 1 < len(bkts):
+            pending = idxs
+        else:
+            out[b] = idxs
+    if pending is not None:
+        if bkts[-1] in out:
+            out[bkts[-1]] = out[bkts[-1]] + pending
+        else:
+            out[bkts[-1]] = pending
+    return out
 
 
 def _bucket(n: int, buckets=LEN_BUCKETS) -> int:
@@ -669,6 +705,87 @@ class BatchAligner:
         return pool
 
     # ---------------- phase 6: backtrace of chosen problems ----------------
+    def _gapless_tb(self, pool: DPPool, sel: np.ndarray,
+                    codes_sel: np.ndarray, quals_sel: np.ndarray,
+                    lens_sel: np.ndarray, end_sel: np.ndarray):
+        """Host gapless fast path for emission backtraces (e2e only).
+
+        A candidate whose DP score equals the pure diagonal score ending at
+        its best cell walks that diagonal exactly (the forward pass prefers
+        DIAG on ties — see ops/sw.diag_readout for the induction), so its
+        CIGAR/MD/edit counts can be synthesized from the reference words
+        directly, skipping the device backtrace round trip. Returns
+        (tb dict for the gapless members, remaining sel array)."""
+        pol = self.pol
+        if sel.size == 0 or pol.local:
+            return {}, sel
+        p = pol.sw_params()
+        L = lens_sel.astype(np.int64)
+        rows_end = pool.rows_end[sel]
+        rid = pool.rid[sel].astype(np.int64)
+        lo = self.data.ref_cum[rid]
+        hi = self.data.ref_cum[rid + 1]
+        g0 = end_sel.astype(np.int64) - (L - 1)
+        Lm = codes_sel.shape[1]
+        ar = np.arange(Lm, dtype=np.int64)
+        gp = g0[:, None] + ar[None, :]
+        live = ar[None, :] < L[:, None]
+        inref = (gp >= lo[:, None]) & (gp < hi[:, None])
+        gpc = np.clip(gp, 0, int(self.data.ref_cum[-1]) - 1)
+        rw = self.data.ref_words
+        rn = self.data.refn_words
+        fc = ((rw[gpc >> 4] >> (2 * (gpc & 15))) & 3).astype(np.int64)
+        fc = np.where((rn[gpc >> 5] >> (gpc & 31)) & 1, 4, fc)
+        fc = np.where(inref, fc, 5)
+        rd = codes_sel.astype(np.int64)
+        is_n = (rd >= 4) | (fc == 4)
+        oob = fc >= 5
+        eq = (fc == rd) & ~is_n & ~oob
+        q = np.minimum(quals_sel.astype(np.int64), 40)
+        mmpen = p.mm_pen_min + (q * (p.mm_pen_max - p.mm_pen_min)) // 40
+        sub = np.where(eq, p.match_bonus,
+                       np.where(is_n & ~oob, -p.n_pen, -mmpen))
+        dscore = np.where(live & ~oob, sub, 0).sum(axis=1)
+        okg = ~(live & oob).any(axis=1) \
+            & (dscore == pool.scores[sel]) \
+            & (rows_end == L - 1) \
+            & (g0 >= pool.win_start[sel])   # full diagonal inside the rect
+        nmm = ((live & ((~eq & (rd < 4) & (fc != 4)) | is_n))
+               .astype(np.int64)).sum(axis=1)
+        nrefn = (live & (fc == 4)).sum(axis=1)
+
+        from bowtie2_tpu.pipeline.backtrace import _REF_CHARS
+        tb = {}
+        sc_sel = pool.scores[sel]
+        mop = "=" if pol.xeq else "M"
+        for t in np.nonzero(okg)[0].tolist():
+            k = int(sel[t])
+            Lt = int(L[t])
+            ev = np.nonzero(~eq[t, :Lt])[0]
+            if pol.xeq and ev.size:
+                key = eq[t, :Lt]
+                change = np.nonzero(np.diff(key))[0]
+                bounds = np.concatenate([[0], change + 1, [Lt]])
+                cigar = [("=" if key[s] else "X", int(e - s))
+                         for s, e in zip(bounds[:-1], bounds[1:])]
+            else:
+                cigar = [(mop, Lt)]
+            parts = []
+            prev = 0
+            for e in ev.tolist():
+                parts.append(str(e - prev))
+                parts.append(_REF_CHARS[int(fc[t, e])])
+                prev = e + 1
+            parts.append(str(Lt - prev))
+            sc = {"read_start": 0,
+                  "ref_start_win": int(g0[t] - pool.win_start[k]),
+                  "n_mm": int(nmm[t]), "n_go": 0, "n_gc": 0,
+                  "n_refn": int(nrefn[t]),
+                  "score_check": int(sc_sel[t]),
+                  "cigar_ops": cigar, "md": "".join(parts)}
+            tb[k] = (None, sc)
+        return tb, sel[~okg]
+
     def _backtrace_sel(self, pool: DPPool, sel: np.ndarray):
         """Backtrace pool problems sel → {k: (opcol, scalars dict)}."""
         if sel.size == 0:
@@ -741,7 +858,9 @@ class BatchAligner:
         if sc["score_check"] != int(pool.scores[k]):
             return None
         read_end = int(pool.rows_end[k]) + 1
-        if sc["n_mm"] == 0 and sc["n_gc"] == 0 and sc["n_refn"] == 0:
+        if "cigar_ops" in sc:      # host gapless fast path (_gapless_tb)
+            cigar_ops, md = sc["cigar_ops"], sc["md"]
+        elif sc["n_mm"] == 0 and sc["n_gc"] == 0 and sc["n_refn"] == 0:
             span = read_end - sc["read_start"]
             cigar_ops = []
             if sc["read_start"] > 0:
@@ -2787,7 +2906,26 @@ class PairedAligner(BatchAligner):
                 if has_l[ri]:
                     need.add(int(CPOS[ri, first_slot[ri]]))
         sel = np.array(sorted(need), np.int32)
-        tb_of = self._backtrace_sel(pool, sel) if sel.size else {}
+        tb_of = {}
+        if sel.size and not pol.local:
+            # host gapless fast path: candidates whose score equals the
+            # pure-diagonal score synthesize CIGAR/MD from the host ref
+            # words, skipping the device backtrace round trip
+            cand_read = np.zeros(NC, np.int64)
+            cand_read[CPOS[m]] = np.broadcast_to(
+                np.arange(B2)[:, None], (B2, T))[m]
+            ri_s = cand_read[sel]
+            or_s = ci_or[sel]
+            codes_sel = np.where((or_s == 0)[:, None],
+                                 fpb.fw[ri_s], fpb.rc[ri_s])
+            quals_sel = np.where((or_s == 0)[:, None],
+                                 fpb.qu[ri_s], fpb.qu_r[ri_s])
+            tb_of, sel = self._gapless_tb(
+                pool, sel, codes_sel, quals_sel, fpb.lens[ri_s],
+                cs.end_pos[sel])
+            sel = np.asarray(sel, np.int32)
+        if sel.size:
+            tb_of.update(self._backtrace_sel(pool, sel))
         self.metrics.add(t_host=_time.time() - _t)
         _t = _time.time()
 
