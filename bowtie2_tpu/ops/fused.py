@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from bowtie2_tpu.index.fmindex import FMHalf
 from bowtie2_tpu.ops import fm
 from bowtie2_tpu.ops.ref import aligned_width, gather_windows_aligned
-from bowtie2_tpu.ops.sw import (OP_NONE, SWParams, backtrace, diag_readout,
+from bowtie2_tpu.ops.sw import (OP_NONE, SWParams, SWResult, backtrace,
+                                diag_readout, mm_penalty_from_qual,
                                 sw_banded)
 
 NEG = jnp.int32(-(1 << 29))
@@ -228,7 +229,8 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
           live_or, params: SWParams, band: int, seed_len: int,
           ftab_chars: int, half_ftab: int, period: int, T: int,
           NC: int, n1: bool, max_exact_rows: int, no_1mm: bool,
-          no_exact: bool = False, track_origin: bool = False):
+          no_exact: bool = False, track_origin: bool = False,
+          NCDP: int = None):
     """Shared pipeline phases 1-4: searches → slots → SA resolve → DP.
 
     Returns a dict of intermediates; fused_se ranks/backtraces from it,
@@ -394,20 +396,83 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
     jquals_c = jnp.take(jquals, rows_idx, axis=0)
     lens_c = jnp.where(live_c, jnp.take(lens, ci_read), 1)
     rect_cols = lens_c + 2 * G + 1
-    res = sw_banded.__wrapped__(jreads_c, jquals_c, lens_c, wins, params,
-                                G, rect_cols, col_shift,
-                                track_origin=track_origin)
 
-    # ungapped mismatch count on the anchor diagonal (half-candidate gate);
-    # the diagonal starts at col_shift + G — resolved by a 32-way select
-    # on the per-row shift instead of a per-element gather
+    # ungapped anchor-diagonal readout for every candidate: mismatch count
+    # (half-candidate gate), exact diagonal score and any-out-of-window
+    # flag (DP bypass below) — resolved by a 32-way select on the per-row
+    # window shift instead of a per-element gather
     read_live = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < lens_c[:, None]
+    mmpen_c = mm_penalty_from_qual(jquals_c, params)
     mm_ug = jnp.zeros(NC, jnp.int32)
+    d_score = jnp.zeros(NC, jnp.int32)
+    d_oob = jnp.zeros(NC, bool)
     for k in range(32):
         diag_k = jax.lax.dynamic_slice_in_dim(wins, k + G, Lmax, axis=1)
         mm_k = jnp.sum(((jreads_c != diag_k) | (jreads_c >= 4)) & read_live,
                        axis=1, dtype=jnp.int32)
-        mm_ug = jnp.where(col_shift == k, mm_k, mm_ug)
+        isn_k = (jreads_c >= 4) | (diag_k == 4)
+        oob_k = diag_k >= 5
+        eq_k = (diag_k == jreads_c) & ~isn_k & ~oob_k
+        sub_k = jnp.where(eq_k, params.match_bonus,
+                          jnp.where(isn_k & ~oob_k, -params.n_pen,
+                                    -mmpen_c))
+        sc_k = jnp.sum(jnp.where(read_live & ~oob_k, sub_k, 0),
+                       axis=1, dtype=jnp.int32)
+        ob_k = jnp.any(read_live & oob_k, axis=1)
+        sel_k = col_shift == k
+        mm_ug = jnp.where(sel_k, mm_k, mm_ug)
+        d_score = jnp.where(sel_k, sc_k, d_score)
+        d_oob = jnp.where(sel_k, ob_k, d_oob)
+
+    # DP-lane bypass (e2e): a candidate whose anchor diagonal lies fully
+    # inside the window and has at most bypass_mm penalized positions is
+    # PROVABLY diagonal-optimal — any other end-to-end path opens >= 1
+    # gap, costing at least min(RDG, RFG) open+extend, strictly more than
+    # bypass_mm positions at the worst per-position penalty (defaults:
+    # 1 * 6 < 5 + 3). Such candidates skip the DP entirely (score, end
+    # cell and origin are the diagonal's, computed above); only the
+    # gapped-possible remainder is compacted into an NCDP-lane sw_banded.
+    # The reference pays its SSE DP per extend; batched, the overwhelming
+    # gapless case becomes one readout. Local mode keeps full DP (its
+    # backtrace walks every record for soft-clip starts).
+    ncdp = NC if NCDP is None else min(NCDP, NC)
+    min_gap_cost = min(params.read_gap_open + params.read_gap_extend,
+                       params.ref_gap_open + params.ref_gap_extend)
+    max_pos_pen = max(params.mm_pen_max, params.n_pen, 1)
+    bypass_mm = 0 if (params.local or params.match_bonus > 0) \
+        else max((min_gap_cost - 1) // max_pos_pen, 0)
+    if ncdp >= NC or bypass_mm == 0:
+        res = sw_banded.__wrapped__(jreads_c, jquals_c, lens_c, wins,
+                                    params, G, rect_cols, col_shift,
+                                    track_origin=track_origin)
+        dplane = jnp.arange(NC, dtype=jnp.int32)
+        n_dpdrop = jnp.zeros((), jnp.int32)
+    else:
+        needs_dp = live_c & ((mm_ug > bypass_mm) | d_oob)
+        dpk = jnp.where(needs_dp, jnp.arange(NC, dtype=jnp.int32), BIGKEY)
+        dperm = jnp.argsort(dpk)[:ncdp]
+        dlive = jnp.take(dpk, dperm) < BIGKEY
+        res_dp = sw_banded.__wrapped__(
+            jnp.take(jreads_c, dperm, axis=0),
+            jnp.take(jquals_c, dperm, axis=0),
+            jnp.where(dlive, jnp.take(lens_c, dperm), 1),
+            jnp.take(wins, dperm, axis=0), params, G,
+            jnp.take(rect_cols, dperm), jnp.take(col_shift, dperm),
+            track_origin=track_origin)
+        dpos = jnp.where(dlive, dperm, NC)
+        m_score = d_score.at[dpos].set(res_dp.score, mode="drop")
+        m_row = (lens_c - 1).at[dpos].set(res_dp.row, mode="drop")
+        m_lane = (col_shift + G + lens_c - 1).at[dpos].set(
+            res_dp.lane, mode="drop")
+        m_origin = None
+        if track_origin:
+            m_origin = (col_shift + G).at[dpos].set(res_dp.origin,
+                                                    mode="drop")
+        res = SWResult(m_score, m_row, m_lane, res_dp.dirs, m_origin)
+        dplane = jnp.full(NC, -1, jnp.int32).at[dpos].set(
+            jnp.arange(ncdp, dtype=jnp.int32), mode="drop")
+        n_dpdrop = jnp.maximum(
+            jnp.sum(needs_dp.astype(jnp.int32), dtype=jnp.int32) - ncdp, 0)
 
     c_score = jnp.where(live_c, res.score, NEG)
     c_valid = live_c & (c_score >= jnp.take(minsc, ci_read)) & \
@@ -438,20 +503,22 @@ def _core(half: FMHalf, ref_words, refn_words, seg: SegTables,
         c_or=c_or, c_rid=c_rid, c_half=c_half,
         wins=wins, col_shift=col_shift, astart=astart,
         jreads_c=jreads_c, jquals_c=jquals_c,
-        res=res, mm_ug=mm_ug, c_score=c_score, c_valid=c_valid, c_end=c_end)
+        res=res, mm_ug=mm_ug, c_score=c_score, c_valid=c_valid, c_end=c_end,
+        dplane=dplane, n_dpdrop=n_dpdrop)
 
 
 @partial(jax.jit, static_argnames=(
     "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
     "T", "kk", "kk_bt", "NC", "n1", "max_exact_rows", "no_1mm",
-    "no_exact"))
+    "no_exact", "NCDP"))
 def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
              jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
              live_or=None,
              *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
              half_ftab: int, period: int, T: int, kk: int, kk_bt: int,
              NC: int, n1: bool, max_exact_rows: int = 4,
-             no_1mm: bool = False, no_exact: bool = False) -> FusedResult:
+             no_1mm: bool = False, no_exact: bool = False,
+             NCDP: int = None) -> FusedResult:
     """Whole single-end batch pipeline in one device program.
 
     jboth/jquals: (2B, Lmax) int32 fw+rc codes / quals; lens: (B,);
@@ -465,7 +532,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
     cx = _core(half, ref_words, refn_words, seg, jboth, jquals, lens,
                offs_all, valid_all, minsc, live_read, live_or, params,
                band, seed_len, ftab_chars, half_ftab, period, T, NC, n1,
-               max_exact_rows, no_1mm, no_exact)
+               max_exact_rows, no_1mm, no_exact, NCDP=NCDP)
     G = band
     B = cx["B"]
     (slot_or, flat_valid, perm, live_c, c_or, c_rid, wins, astart,
@@ -543,8 +610,17 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         gperm = jnp.argsort(bkeys)[:NBT]
         glive = jnp.take(bkeys, gperm) < BIGKEY
         gci = jnp.take(ch_ci, gperm)
+        # DP-lane bypass: dirs exist only for the NCDP-compacted lanes;
+        # a candidate needing the scan walk is by construction gapped,
+        # hence DP'd (bypassed ones always satisfy dscore == score) —
+        # dplane < 0 here is impossible, counted defensively as a drop
+        gdpl = jnp.take(cx["dplane"], gci)
+        n_dplmiss = jnp.sum((glive & (gdpl < 0)).astype(jnp.int32),
+                            dtype=jnp.int32)
+        glive &= gdpl >= 0
         bt = backtrace.__wrapped__(
-            res.dirs, gci, jnp.take(res.row, gci), jnp.take(res.lane, gci),
+            res.dirs, jnp.clip(gdpl, 0, None),
+            jnp.take(res.row, gci), jnp.take(res.lane, gci),
             jnp.take(jreads_c, gci, axis=0), jnp.take(jquals_c, gci, axis=0),
             jnp.take(wins, gci, axis=0), params, G)
         pos = jnp.where(glive, gperm, Bc)             # dead -> dropped
@@ -561,7 +637,8 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         nrefn = s_nrefn.at[pos].set(bt.n_refn, mode="drop")
         sccheck = dscore.at[pos].set(bt.score_check, mode="drop")
         n_btdrop = jnp.maximum(
-            jnp.sum(need_bt.astype(jnp.int32), dtype=jnp.int32) - NBT, 0)
+            jnp.sum(need_bt.astype(jnp.int32), dtype=jnp.int32) - NBT, 0) \
+            + n_dplmiss
 
     g_start = jnp.take(astart, ch_ci) \
         + refstart.astype(astart.dtype)
@@ -599,7 +676,7 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
         # reference-order-preserving unfused path when nonzero)
         (jnp.maximum(jnp.sum(flat_valid.astype(jnp.int32),
                              dtype=jnp.int32) - NC, 0)
-         + n_btdrop)[None],
+         + n_btdrop + cx["n_dpdrop"])[None],
         ee_block,
     ]).astype(jnp.int32)
     blob = jnp.concatenate([
@@ -612,7 +689,9 @@ def fused_se(half: FMHalf, ref_words, refn_words, seg: SegTables,
 # decode must match pipeline/align.py PairedAligner._collect_fused)
 PE_SLOT_FIELDS = 15
 # per-compact-candidate fields exported for DPPool reconstruction
-PE_CI_FIELDS = 5
+# (astart, rid, row, lane, score, dplane — dplane maps candidate -> DP
+# lane in the NCDP-compacted dirs buffer, -1 = bypassed/gapless)
+PE_CI_FIELDS = 6
 
 
 class FusedPEResult(NamedTuple):
@@ -626,7 +705,7 @@ class FusedPEResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
-    "T", "NC", "n1", "max_exact_rows", "no_1mm", "no_exact"))
+    "T", "NC", "n1", "max_exact_rows", "no_1mm", "no_exact", "NCDP"))
 def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
              jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
              live_or=None,
@@ -634,7 +713,7 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
              half_ftab: int, period: int, T: int,
              NC: int, n1: bool, max_exact_rows: int = 4,
              no_1mm: bool = False,
-             no_exact: bool = False) -> FusedPEResult:
+             no_exact: bool = False, NCDP: int = None) -> FusedPEResult:
     """Paired-end search half of the pipeline in one device program.
 
     Same phases 1-4 as fused_se over a 2*Bpairs-read batch (mate1 rows
@@ -652,7 +731,8 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
     cx = _core(half, ref_words, refn_words, seg, jboth, jquals, lens,
                offs_all, valid_all, minsc, live_read, live_or, params,
                band, seed_len, ftab_chars, half_ftab, period, T, NC, n1,
-               max_exact_rows, no_1mm, no_exact, track_origin=True)
+               max_exact_rows, no_1mm, no_exact, track_origin=True,
+               NCDP=NCDP)
     B, T_ = cx["B"], cx["slot_valid"].shape[1]
     res = cx["res"]
     live_c, perm = cx["live_c"], cx["perm"]
@@ -674,9 +754,9 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
                     (cx["sweep_bot"] - sweep.top).astype(jnp.int32), 0)
     ee_read = ee2[:B] + ee2[B:]                  # fw + rc rows per read
 
-    n_dropped = jnp.maximum(
+    n_dropped = (jnp.maximum(
         jnp.sum(cx["flat_valid"].astype(jnp.int32), dtype=jnp.int32) - NC,
-        0)[None]
+        0) + cx["n_dpdrop"])[None]
 
     # per-slot ungapped anchor-diagonal mismatch count: under the PE
     # zero-seed-round suppression (bt2_search.cpp:3948 `break`) only
@@ -691,7 +771,7 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
         cx["rid"], lo, hi, rdend, cx["agg_exact"], cx["agg_half"],
         cx["slot_rangej"], cx["slot_rwidth"], cpos, mmug, anch]
     ci_fields = [cx["astart"], cx["c_rid"], res.row, res.lane,
-                 cx["c_score"]]
+                 cx["c_score"], cx["dplane"]]
     blob = jnp.concatenate(
         [f.astype(jnp.int32).reshape(-1) for f in slot_fields]
         + [ee_read.astype(jnp.int32)]

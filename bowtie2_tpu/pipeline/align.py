@@ -69,7 +69,7 @@ BT_FIELDS = ("read_start", "ref_start_win", "n_mm", "n_go",
 LONG_READ_MAX = 1 << 20      # 1 Mbp: sanity ceiling for the long path
 
 
-def bucket_groups(lengths, merge_below: int = 4096):
+def bucket_groups(lengths, merge_below: int = 1024):
     """Group read indices by length bucket for dispatch, merging sparse
     groups into the next-present larger bucket.
 
@@ -131,6 +131,20 @@ def _pow2_at_least(n: int, lo: int = 256) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _round_batch(n: int, lo: int = 256) -> int:
+    """Batch-row padding: pow2 below 1024, multiples of 1024 above.
+
+    Pow2-everywhere padded 4653 reads to 8192 rows (76% extra gather
+    rows in every FM phase); 1024-granularity caps padding waste at
+    ~20% while keeping the compiled-shape family small."""
+    b = lo
+    while b < n and b < 1024:
+        b *= 2
+    if b >= n:
+        return b
+    return -(-n // 1024) * 1024
 
 
 @dataclass
@@ -240,10 +254,13 @@ class DPPool:
     scores: np.ndarray           # (n,) int64
     rows_end: np.ndarray         # (NC,)
     lanes_end: np.ndarray        # (NC,)
-    dirs: object                 # device (Lmax, NC, W)
+    dirs: object                 # device (Lmax, NCDP, W) — NCDP <= NC when
+                                 # the fused DP-lane bypass compacted
     jreads: object               # device (NC, Lmax)
     jquals: object               # device (NC, Lmax)
     wins: object                 # device (NC, Lmax + 2G)
+    dplane: np.ndarray = None    # (NC,) candidate -> dirs lane (-1 =
+                                 # bypassed/gapless); None = identity
 
     def end_pos(self, k) -> np.ndarray:
         """Global position of the last ref char consumed (exact).
@@ -796,6 +813,15 @@ class BatchAligner:
         sel_pad = np.zeros(Bc, np.int32)
         sel_pad[:sel.size] = sel
         jsel = self._put(sel_pad)
+        jsel_dirs = jsel
+        if pool.dplane is not None:
+            # fused DP-lane bypass: dirs are indexed by compacted DP lane.
+            # A candidate reaching the scan walk is gapped, hence DP'd
+            # (bypassed ones were synthesized by the gapless fast path);
+            # a -1 here would walk lane 0's garbage, which the
+            # score_check safety net downstream rejects.
+            jsel_dirs = self._put(
+                np.clip(pool.dplane[sel_pad], 0, None).astype(np.int32))
         if getattr(pool, "diag", False):
             from bowtie2_tpu.ops.sw import backtrace_diag
             bt = backtrace_diag(
@@ -807,7 +833,7 @@ class BatchAligner:
                 jnp.take(pool.wins, jsel, axis=0),
                 self.pol.sw_params(), pool.G)
         else:
-            bt = backtrace(pool.dirs, jsel,
+            bt = backtrace(pool.dirs, jsel_dirs,
                            self._put(pool.rows_end[sel_pad].astype(np.int32)),
                            self._put(pool.lanes_end[sel_pad].astype(np.int32)),
                            jnp.take(pool.jreads, jsel, axis=0),
@@ -1515,7 +1541,7 @@ class UnpairedAligner(BatchAligner):
         _t = _time.time()
         pol = self.pol
         B = len(records)
-        Bp = _pow2_at_least(B, lo=256)
+        Bp = _round_batch(B, lo=256)
         fw, qu, rc, qu_r, lens = pad_reads(
             records, _bucket(max(max(int(r.seq.size) for r in records), 1)))
         Lmax = fw.shape[1]
@@ -1558,7 +1584,8 @@ class UnpairedAligner(BatchAligner):
             half_ftab=min(self.data.fw.ftab_chars, pol.seed_len // 2),
             period=1 << self.data.off_rate, T=T, kk=kk, kk_bt=kk_bt,
             NC=NC, n1=pol.seed_mms >= 1, no_1mm=getattr(pol, "no_1mm", False),
-            no_exact=getattr(pol, "no_exact", False))
+            no_exact=getattr(pol, "no_exact", False),
+            NCDP=max(Bp, 512))
         if self.shard_mesh is not None:
             key = tuple(sorted(statics.items()))
             if key not in self._shard_fns:
@@ -2254,7 +2281,7 @@ class PairedAligner(BatchAligner):
         _t = _time.time()
         pol = self.pol
         B = len(pairs)
-        Bp = _pow2_at_least(B, lo=128)
+        Bp = _round_batch(B, lo=128)
         dummy = SeqRecord(name="", seq=np.zeros(0, np.uint8),
                           qual=np.zeros(0, np.uint8))
         recs = [p[0] for p in pairs] + [dummy] * (Bp - B) + \
@@ -2298,7 +2325,8 @@ class PairedAligner(BatchAligner):
             period=1 << self.data.off_rate, T=T,
             NC=NC, n1=pol.seed_mms >= 1,
             no_1mm=getattr(pol, "no_1mm", False),
-            no_exact=getattr(pol, "no_exact", False))
+            no_exact=getattr(pol, "no_exact", False),
+            NCDP=max(B2, 512))
         batch_args = (jboth, jquals, self._put(lens),
                       self._put(offs_all), self._put(valid_all),
                       self._put(minsc.astype(np.int32)), self._put(live),
@@ -2642,7 +2670,7 @@ class PairedAligner(BatchAligner):
         snz = meta[off:off + B2]
         off += B2
         cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
-        astart, ci_rid, ci_row, ci_lane, ci_score = cif
+        astart, ci_rid, ci_row, ci_lane, ci_score, ci_dplane = cif
         if large:
             astart = _u32pos(astart)
         off += PE_CI_FIELDS * NC
@@ -2657,7 +2685,8 @@ class PairedAligner(BatchAligner):
                       scores=ci_score.astype(np.int64),
                       rows_end=ci_row, lanes_end=ci_lane,
                       dirs=fpb.res.dirs, jreads=fpb.res.jreads_c,
-                      jquals=fpb.res.jquals_c, wins=fpb.res.wins)
+                      jquals=fpb.res.jquals_c, wins=fpb.res.wins,
+                      dplane=ci_dplane)
         m = CPOS >= 0
         ci_or = np.zeros(NC, np.int64)
         ci_or[CPOS[m]] = OR[m]
