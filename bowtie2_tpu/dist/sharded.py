@@ -183,14 +183,14 @@ def make_fused_pe_sharded(mesh: Mesh, **static_kwargs):
     r = P()
 
     def body(sidx, seg_, jboth, jquals, lens, offs_all, valid_all, minsc,
-             live_read, live_or):
+             live_read, live_or, inst_read, filtered):
         return fused_pe.__wrapped__(
             sidx.fw, sidx.ref_words, sidx.refn_words, seg_, jboth, jquals,
             lens, offs_all, valid_all, minsc, live_read, live_or,
-            **static_kwargs)
+            inst_read, filtered, **static_kwargs)
 
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(sharded_in_specs(), r, r, r, r, r, r, r, r, r),
+        in_specs=(sharded_in_specs(), r, r, r, r, r, r, r, r, r, r, r),
         out_specs=r, check_vma=False)
     return jax.jit(f)

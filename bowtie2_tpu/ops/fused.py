@@ -692,28 +692,180 @@ PE_SLOT_FIELDS = 15
 # (astart, rid, row, lane, score, dplane — dplane maps candidate -> DP
 # lane in the NCDP-compacted dirs buffer, -1 = bypassed/gapless)
 PE_CI_FIELDS = 6
+# device-pairing compact exports: per-read (B2) and per-pair (Bp) fields
+# (layout must match pipeline/align.py PairedAligner._collect_fused):
+# read: first_cpos first_or first_lo first_hi first_s has_l
+#       sec_cpos sec_s has_l2 nL
+# pair: has b1_cpos b1_or b1_lo b1_hi b1_s b2_cpos b2_or b2_lo b2_hi b2_s
+#       best_ss sec_ss n_kept hostneed
+PE_READ_FIELDS = 10
+PE_PAIR_FIELDS = 15
+
+# pairing rank sentinel (host mirror uses 1 << 30)
+PAIR_BIGR = jnp.int32(1 << 30)
 
 
 class FusedPEResult(NamedTuple):
-    blob: jnp.ndarray      # int32 (PE_SLOT_FIELDS*B*T + 2*B + PE_CI_FIELDS*NC
-                           #        + 1,) — ONE device->host transfer
+    blob: jnp.ndarray      # int32 compact vector (PE_READ_FIELDS*B2 +
+                           # PE_PAIR_FIELDS*Bp + 2*B2 + PE_CI_FIELDS*NC + 1,)
+                           # — the ONE transfer the fast path needs
+    slots: jnp.ndarray     # int32 (PE_SLOT_FIELDS, B2, T) full per-slot
+                           # metadata; pulled only on the rare host-replay
+                           # path (suppression/effort corrections, k-mode)
     dirs: jnp.ndarray      # device handles kept for the emission backtrace
     jreads_c: jnp.ndarray
     jquals_c: jnp.ndarray
     wins: jnp.ndarray
 
 
+def _pe_pairing(pairing, B, Bp, T_, aok, score, slot_or, rid, lo_p, hi_p,
+                occ, exact, half, mmug, cpos, ee_read, seed_nz, inst_read,
+                filtered):
+    """Device half of PairedAligner._collect_fused's dense pairing math.
+
+    Mirrors the host numpy line for line (same tie-break orders, argmax /
+    argmin first-index semantics); the host keeps only the rare replay
+    paths (suppression 1mm-legality, -D non-fast effort simulation), which
+    raise `hostneed` so the host re-runs its full pairing for that batch.
+    Returns (read_fields (PE_READ_FIELDS, B), pair_fields
+    (PE_PAIR_FIELDS, Bp)) as int32."""
+    from bowtie2_tpu.pipeline.pe import PE_DISCORD, pe_classify_jnp
+    (pe_pol, minins, maxins, olap_ok, contain_ok, dove_ok, limit) = pairing
+    i32 = jnp.int32
+    AOK = aok.astype(bool)
+    S = score
+    OR = slot_or
+    tj = jnp.arange(T_, dtype=i32)
+
+    # dedupe by (orient, end): reference slot loses to a same-key slot with
+    # higher score (or equal score, earlier index)
+    same = (OR[:, :, None] == OR[:, None, :]) & \
+           (hi_p[:, :, None] == hi_p[:, None, :]) & \
+           AOK[:, :, None] & AOK[:, None, :]
+    bet = (S[:, None, :] > S[:, :, None]) | \
+          ((S[:, None, :] == S[:, :, None]) &
+           (tj[None, None, :] < tj[None, :, None]))
+    rep = AOK & ~(same & bet).any(axis=2)
+
+    # rankpos[j] = lexsort rank under key (~rep asc, -S asc, tj asc) —
+    # counted pairwise (T is small), identical to the host lexsort since
+    # tj makes every key distinct
+    nrep = ~rep
+    s_gt = S[:, None, :] > S[:, :, None]
+    s_eq = S[:, None, :] == S[:, :, None]
+    t_lt = tj[None, None, :] < tj[None, :, None]
+    less = (nrep[:, None, :].astype(i32) < nrep[:, :, None].astype(i32)) | \
+           ((nrep[:, None, :] == nrep[:, :, None]) &
+            (s_gt | (s_eq & t_lt)))
+    rankpos = less.sum(axis=2, dtype=i32)
+
+    # concordant cross-products (pairs, T, T)
+    conc = (rid[:Bp, :, None] == rid[Bp:, None, :]) & \
+        rep[:Bp][:, :, None] & rep[Bp:][:, None, :]
+    typ = pe_classify_jnp(
+        pe_pol,
+        lo_p[:Bp][:, :, None], hi_p[:Bp][:, :, None],
+        (OR[:Bp] == 0)[:, :, None],
+        lo_p[Bp:][:, None, :], hi_p[Bp:][:, None, :],
+        (OR[Bp:] == 0)[:, None, :],
+        minins, maxins, olap_ok, contain_ok, dove_ok)
+    conc &= typ != PE_DISCORD
+    SUCC = jnp.concatenate([conc.any(axis=2), conc.any(axis=1)], axis=0)
+
+    # zero-seed-round suppression (bt2_search.cpp:3948/:3968 `break`)
+    n1e, n2e = ee_read[:Bp], ee_read[Bp:]
+    swap = (n1e > 0) & (n2e > 0) & (n1e > n2e)
+    inst_first = jnp.where(swap, inst_read[Bp:], inst_read[:Bp])
+    snz_first = jnp.where(swap, seed_nz[Bp:], seed_nz[:Bp])
+    both_ok = ~filtered[:Bp] & ~filtered[Bp:]
+    supp_pair = both_ok & ((inst_first == 0) | (snz_first == 0))
+    suppress = jnp.concatenate([supp_pair, supp_pair])
+    half_ok = half & jnp.where(suppress[:, None], mmug <= 1, True)
+
+    # -D fail-streak fast path; non-fast reads -> host replay
+    nex = (occ & exact).sum(axis=1)
+    nhf = (occ & half_ok & ~exact).sum(axis=1)
+    nsd = (occ & ~exact & ~half).sum(axis=1)
+    if limit is None:
+        fast = jnp.ones(B, bool)
+    else:
+        fast = (nex <= limit) & (nhf <= limit) & \
+            jnp.where(suppress, True, nsd <= limit)
+    # suppressed rows with surviving half candidates need the host's full
+    # oneMmSearch segment/--local legality refinement
+    need_mm1 = suppress & (occ & half_ok & ~exact).any(axis=1)
+    hostneed_read = (~fast) | need_mm1
+    ATT = occ & jnp.where(suppress[:, None], exact | half_ok, True)
+    SUC = ATT & SUCC
+
+    # best concordant combo per pair: lexicographic (SS desc, mate-1 rank
+    # asc, mate-2 rank asc), packed into one int32 key (rankpos < T)
+    keep = conc & (SUC[:Bp][:, :, None] | SUC[Bp:][:, None, :])
+    SS = S[:Bp][:, :, None] + S[Bp:][:, None, :]
+    shift = max(T_ - 1, 1).bit_length()
+    KMIN = jnp.int32(-(1 << 31) + 1)
+    key = jnp.where(
+        keep,
+        (SS << (2 * shift)) - (rankpos[:Bp][:, :, None] << shift)
+        - rankpos[Bp:][:, None, :],
+        KMIN)
+    flatk = key.reshape(Bp, T_ * T_)
+    bestflat = jnp.argmax(flatk, axis=1).astype(i32)
+    has = keep.reshape(Bp, -1).any(axis=1)
+    b_s1 = bestflat // T_
+    b_s2 = bestflat % T_
+    ar = jnp.arange(Bp)
+    best_ss = SS.reshape(Bp, -1)[ar, bestflat]
+    n_kept = keep.reshape(Bp, -1).sum(axis=1, dtype=i32)
+    flatk2 = flatk.at[ar, bestflat].set(KMIN)
+    secflat = jnp.argmax(flatk2, axis=1)
+    sec_ss = SS.reshape(Bp, -1)[ar, secflat]
+
+    # eff-ranked heads (rescue anchors / discordant / mixed)
+    att_rank = jnp.where(rep & ATT, rankpos, PAIR_BIGR)
+    first_rank = att_rank.min(axis=1)
+    first_slot = att_rank.argmin(axis=1).astype(i32)
+    has_l = first_rank < PAIR_BIGR
+    arB = jnp.arange(B)
+    att_rank2 = att_rank.at[arB, first_slot].set(PAIR_BIGR)
+    sec_rank = att_rank2.min(axis=1)
+    sec_slot = att_rank2.argmin(axis=1).astype(i32)
+    has_l2 = sec_rank < PAIR_BIGR
+    nL = (rep & ATT).sum(axis=1, dtype=i32)
+
+    def tk(arr, slot):
+        return jnp.take_along_axis(arr, slot[:, None], axis=1)[:, 0]
+
+    lo32 = lo_p.astype(i32)     # host decodes wrapped values via _u32pos
+    hi32 = hi_p.astype(i32)
+    read_fields = jnp.stack([
+        tk(cpos, first_slot), tk(OR, first_slot), tk(lo32, first_slot),
+        tk(hi32, first_slot), tk(S, first_slot), has_l.astype(i32),
+        tk(cpos, sec_slot), tk(S, sec_slot), has_l2.astype(i32), nL])
+    pair_fields = jnp.stack([
+        has.astype(i32),
+        tk(cpos[:Bp], b_s1), tk(OR[:Bp], b_s1), tk(lo32[:Bp], b_s1),
+        tk(hi32[:Bp], b_s1), tk(S[:Bp], b_s1),
+        tk(cpos[Bp:], b_s2), tk(OR[Bp:], b_s2), tk(lo32[Bp:], b_s2),
+        tk(hi32[Bp:], b_s2), tk(S[Bp:], b_s2),
+        best_ss, sec_ss, n_kept,
+        (hostneed_read[:Bp] | hostneed_read[Bp:]).astype(i32)])
+    return read_fields.astype(i32), pair_fields.astype(i32)
+
+
 @partial(jax.jit, static_argnames=(
     "params", "band", "seed_len", "ftab_chars", "half_ftab", "period",
-    "T", "NC", "n1", "max_exact_rows", "no_1mm", "no_exact", "NCDP"))
+    "T", "NC", "n1", "max_exact_rows", "no_1mm", "no_exact", "NCDP",
+    "pairing"))
 def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
              jboth, jquals, lens, offs_all, valid_all, minsc, live_read,
-             live_or=None,
+             live_or=None, inst_read=None, filtered=None,
              *, params: SWParams, band: int, seed_len: int, ftab_chars: int,
              half_ftab: int, period: int, T: int,
              NC: int, n1: bool, max_exact_rows: int = 4,
              no_1mm: bool = False,
-             no_exact: bool = False, NCDP: int = None) -> FusedPEResult:
+             no_exact: bool = False, NCDP: int = None,
+             pairing=None) -> FusedPEResult:
     """Paired-end search half of the pipeline in one device program.
 
     Same phases 1-4 as fused_se over a 2*Bpairs-read batch (mate1 rows
@@ -744,7 +896,8 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
 
     aok = scat(cx["c_valid"])
     score = scat(jnp.where(cx["c_valid"], cx["c_score"], NEG), fill=NEG)
-    lo = scat((cx["astart"] + res.origin).astype(jnp.int32))
+    lo_full = cx["astart"] + res.origin.astype(cx["astart"].dtype)
+    lo = scat(lo_full.astype(jnp.int32))
     hi = scat(cx["c_end"].astype(jnp.int32))
     rdend = scat(res.row + 1)
     cpos = scat(jnp.arange(NC, dtype=jnp.int32), fill=-1)
@@ -772,8 +925,35 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
         cx["slot_rangej"], cx["slot_rwidth"], cpos, mmug, anch]
     ci_fields = [cx["astart"], cx["c_rid"], res.row, res.lane,
                  cx["c_score"], cx["dplane"]]
+    slots = jnp.stack([f.astype(jnp.int32) for f in slot_fields])
+
+    Bp = B // 2
+    if pairing is not None:
+        # device half of the host pairing (un-wrapped positions: the
+        # large-index mode keeps true int64 extents here even though the
+        # slot export wraps them to int32)
+        pdt = lo_full.dtype if lo_full.dtype == jnp.int64 else jnp.int32
+
+        def scat_p(vals, fill=0):
+            return jnp.full(B * T_ + 1, fill, pdt).at[flat_ci].set(
+                vals.astype(pdt))[:-1].reshape(B, T_)
+
+        lo_p = scat_p(lo_full) if pdt != jnp.int32 else lo
+        hi_p = scat_p(cx["c_end"]) if pdt != jnp.int32 else hi
+        read_fields, pair_fields = _pe_pairing(
+            pairing, B, Bp, T_, aok, score, cx["slot_or"], cx["rid"],
+            lo_p, hi_p, cx["slot_valid"].astype(bool),
+            cx["agg_exact"].astype(bool), cx["agg_half"].astype(bool),
+            mmug, cpos, ee_read, cx["seed_nz"].astype(jnp.int32),
+            inst_read, filtered)
+    else:
+        read_fields = jnp.zeros((PE_READ_FIELDS, B), jnp.int32)
+        # hostneed=1 on every pair: no device decision to trust
+        pair_fields = jnp.zeros((PE_PAIR_FIELDS, Bp), jnp.int32
+                                ).at[PE_PAIR_FIELDS - 1].set(1)
+
     blob = jnp.concatenate(
-        [f.astype(jnp.int32).reshape(-1) for f in slot_fields]
+        [read_fields.reshape(-1), pair_fields.reshape(-1)]
         + [ee_read.astype(jnp.int32)]
         # per-read count of round-0 seeds with a nonzero SA range: the
         # reference's rounds loop `break`s (skipping the OTHER mate's seed
@@ -782,5 +962,5 @@ def fused_pe(half: FMHalf, ref_words, refn_words, seg: SegTables,
         + [cx["seed_nz"].astype(jnp.int32)]
         + [f.astype(jnp.int32).reshape(-1) for f in ci_fields]
         + [n_dropped])
-    return FusedPEResult(blob, res.dirs, cx["jreads_c"], cx["jquals_c"],
-                         cx["wins"])
+    return FusedPEResult(blob, slots, res.dirs, cx["jreads_c"],
+                         cx["jquals_c"], cx["wins"])

@@ -2257,6 +2257,8 @@ class FusedPEBatch:
     jboth: object               # device (2*B2, Lmax)
     jquals: object
     res: object                 # ops.fused.FusedPEResult
+    pairing: object = None      # static pairing tuple passed to fused_pe
+                                # (None = device pairing disabled)
 
 
 class PairedAligner(BatchAligner):
@@ -2318,6 +2320,7 @@ class PairedAligner(BatchAligner):
         jquals = self._put(np.concatenate([qu, qu_r], axis=0)
                            ).astype(jnp.int32)
         live_or = self._live_orient(B2, paired=True)
+        pairing = self._pe_pairing_static(minsc, perfect)
         statics = dict(
             params=pol.sw_params(), band=G, seed_len=pol.seed_len,
             ftab_chars=self.data.fw.ftab_chars,
@@ -2326,11 +2329,13 @@ class PairedAligner(BatchAligner):
             NC=NC, n1=pol.seed_mms >= 1,
             no_1mm=getattr(pol, "no_1mm", False),
             no_exact=getattr(pol, "no_exact", False),
-            NCDP=max(B2, 512))
+            NCDP=max(B2, 512), pairing=pairing)
         batch_args = (jboth, jquals, self._put(lens),
                       self._put(offs_all), self._put(valid_all),
                       self._put(minsc.astype(np.int32)), self._put(live),
-                      None if live_or is None else self._put(live_or))
+                      None if live_or is None else self._put(live_or),
+                      self._put(inst_read.astype(np.int32)),
+                      self._put(filtered))
         if self.shard_mesh is not None:
             key = ("pe",) + tuple(sorted(statics.items()))
             if key not in self._shard_fns:
@@ -2347,7 +2352,26 @@ class PairedAligner(BatchAligner):
             pairs=pairs, B=B, Bp=Bp, B2=B2, Lmax=Lmax, T=T, NC=NC, G=G,
             lens=lens, fw=fw, qu=qu, rc=rc, qu_r=qu_r, minsc=minsc,
             perfect=perfect, filtered=filtered, yf=yf, inst_read=inst_read,
-            jboth=jboth, jquals=jquals, res=res)
+            jboth=jboth, jquals=jquals, res=res, pairing=pairing)
+
+    def _pe_pairing_static(self, minsc, perfect):
+        """Static pairing tuple for the device-side fused-PE pairing, or
+        None when the host must run the full pairing anyway (k/-a modes
+        re-rank whole combo lists) or when the int32 pairing key could
+        overflow (extreme --score-min / --ma settings)."""
+        from bowtie2_tpu.pipeline.pe_effort import pe_streak_limit
+        pol = self.pol
+        if pol.all_hits or pol.khits > 1:
+            return None
+        bound = (int(np.abs(minsc).max(initial=0))
+                 + int(np.abs(perfect).max(initial=0)) + 1) * 2
+        if bound << 10 >= (1 << 31):      # 2*shift bits at T<=32
+            return None
+        if getattr(self, "force_host_pairing", False):
+            return None
+        return (pol.mate_fw_rc, pol.minins, pol.maxins, pol.olap_ok,
+                pol.contain_ok, pol.dovetail_ok,
+                pe_streak_limit(pol.fail_streak, pol.khits, True))
 
     def collect(self, h):
         if h is None:
@@ -2625,17 +2649,54 @@ class PairedAligner(BatchAligner):
 
     # ------------------------------------------------------------------
     def _collect_fused(self, fpb: FusedPEBatch) -> List[SamAlignment]:
-        """Decode the fused PE blob, pair candidates VECTORIZED, replay the
-        -D effort model (fast path: any read whose per-phase candidate
-        count fits under the streak limit attempts everything — the replay
-        is only run for the rare reads that could actually give up), mate-
-        rescue the rest, and emit.
+        """Decode the fused PE compact blob and dispatch.
+
+        The dense pairing math (dedupe/rank, (pairs, T, T) concordance
+        classification, -D fast-path effort, best-combo selection, rescue
+        heads) ran ON DEVICE (ops/fused.py _pe_pairing); the fast path
+        consumes its per-pair/per-read decisions directly and only runs
+        rescue DP + emission on the host. The legacy host pairing remains
+        for k/-a modes and for batches where any read needs the
+        suppression 1mm-legality or non-fast -D replay (the device flags
+        those via `hostneed`); it re-runs the full pairing from the
+        per-slot export, byte-identical by construction."""
+        from bowtie2_tpu.ops.fused import (PE_CI_FIELDS, PE_PAIR_FIELDS,
+                                           PE_READ_FIELDS)
+        import time as _time
+        B, Bp, B2, NC = fpb.B, fpb.Bp, fpb.B2, fpb.NC
+        _t = _time.time()
+        meta = np.asarray(fpb.res.blob)
+        self.metrics.add(t_dp=_time.time() - _t)
+        rf = meta[:PE_READ_FIELDS * B2].reshape(PE_READ_FIELDS, B2)
+        off = PE_READ_FIELDS * B2
+        pf = meta[off:off + PE_PAIR_FIELDS * Bp].reshape(PE_PAIR_FIELDS, Bp)
+        off += PE_PAIR_FIELDS * Bp
+        ee = meta[off:off + B2]
+        off += B2
+        snz = meta[off:off + B2]
+        off += B2
+        cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
+        off += PE_CI_FIELDS * NC
+        if int(meta[off]) > 0:
+            # DP budget overflow: rerun on the uncapped host path (rare)
+            sys.stderr.write("fused PE DP budget exceeded; falling back\n")
+            return self.align_batch_host(fpb.pairs)
+        if fpb.pairing is None or pf[PE_PAIR_FIELDS - 1, :B].any():
+            return self._collect_fused_legacy(fpb, ee, snz, cif)
+        return self._collect_fused_fast(fpb, rf, pf, cif)
+
+    def _collect_fused_legacy(self, fpb: FusedPEBatch, ee, snz, cif
+                              ) -> List[SamAlignment]:
+        """Full host pairing from the per-slot export: pair candidates
+        VECTORIZED, replay the -D effort model (fast path: any read whose
+        per-phase candidate count fits under the streak limit attempts
+        everything — the replay is only run for the rare reads that could
+        actually give up), mate-rescue the rest, and emit.
 
         Semantics identical to align_batch_host (golden-tested); the
         per-pair Python cross-product loops of the legacy path
         (aligner_sw_driver.cpp:1680's per-read state machine analog) are
         replaced by (pairs, T, T) array classification."""
-        from bowtie2_tpu.ops.fused import PE_CI_FIELDS, PE_SLOT_FIELDS
         from bowtie2_tpu.pipeline.pe import pe_classify_np
         from bowtie2_tpu.pipeline.pe_effort import (pe_streak_limit,
                                                     simulate_mate)
@@ -2643,11 +2704,9 @@ class PairedAligner(BatchAligner):
         pol = self.pol
         B, Bp, B2, T, NC = fpb.B, fpb.Bp, fpb.B2, fpb.T, fpb.NC
         _t = _time.time()
-        meta = np.asarray(fpb.res.blob)
+        sf = np.asarray(fpb.res.slots)
         self.metrics.add(t_dp=_time.time() - _t)
         _t = _time.time()
-        nslot = B2 * T
-        sf = meta[:PE_SLOT_FIELDS * nslot].reshape(PE_SLOT_FIELDS, B2, T)
         large = self._row_dtype == np.int64
         OCC = sf[0].astype(bool)
         AOK = sf[1].astype(bool)
@@ -2664,20 +2723,9 @@ class PairedAligner(BatchAligner):
         CPOS = sf[12]
         MMUG = sf[13]
         ANCH = _u32pos(sf[14]) if large else sf[14].astype(np.int64)
-        off = PE_SLOT_FIELDS * nslot
-        ee = meta[off:off + B2]
-        off += B2
-        snz = meta[off:off + B2]
-        off += B2
-        cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
         astart, ci_rid, ci_row, ci_lane, ci_score, ci_dplane = cif
         if large:
             astart = _u32pos(astart)
-        off += PE_CI_FIELDS * NC
-        if int(meta[off]) > 0:
-            # DP budget overflow: rerun on the uncapped host path (rare)
-            sys.stderr.write("fused PE DP budget exceeded; falling back\n")
-            return self.align_batch_host(fpb.pairs)
 
         pool = DPPool(G=fpb.G, Lmax=fpb.Lmax, n=NC,
                       win_start=astart.astype(np.int64),
@@ -3083,6 +3131,254 @@ class PairedAligner(BatchAligner):
             l2 = [int(CPOS[ri2, first_slot[ri2]])] if has_l[ri2] else []
             if has_l2[ri2]:
                 l2.append(int(CPOS[ri2, sec_slot[ri2]]))
+            self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
+        self._merge_stats(st)
+        self.metrics.add(t_host=_time.time() - _t)
+        return out
+
+    def _collect_fused_fast(self, fpb: FusedPEBatch, rf, pf, cif
+                            ) -> List[SamAlignment]:
+        """Emit straight from the device pairing decisions (the common
+        path): per-pair best concordant combo + per-read eff-ranked heads
+        arrive in the compact blob, so the host only runs mate-rescue DP
+        for conc-less pairs, the emission backtrace, and record building.
+        Byte-identical to _collect_fused_legacy (same decision math,
+        mirrored on device in ops/fused.py _pe_pairing; cross-checked by
+        tests/test_golden.py and the force_host_pairing differential)."""
+        import time as _time
+        pol = self.pol
+        B, Bp, B2, T, NC = fpb.B, fpb.Bp, fpb.B2, fpb.T, fpb.NC
+        _t = _time.time()
+        large = self._row_dtype == np.int64
+        (r_fc, r_fo, r_flo32, r_fhi32, r_fs, r_hasl,
+         r_sc, r_ss, r_hasl2, r_nl) = rf
+        r_flo = _u32pos(r_flo32) if large else r_flo32.astype(np.int64)
+        r_fhi = _u32pos(r_fhi32) if large else r_fhi32.astype(np.int64)
+        (p_has, b1c, b1o, b1lo32, b1hi32, b1s,
+         b2c, b2o, b2lo32, b2hi32, b2s, p_bss, p_sss, p_nk, _hn) = pf
+        b1lo = _u32pos(b1lo32) if large else b1lo32.astype(np.int64)
+        b1hi = _u32pos(b1hi32) if large else b1hi32.astype(np.int64)
+        b2lo = _u32pos(b2lo32) if large else b2lo32.astype(np.int64)
+        b2hi = _u32pos(b2hi32) if large else b2hi32.astype(np.int64)
+        astart, ci_rid, ci_row, ci_lane, ci_score, ci_dplane = cif
+        if large:
+            astart = _u32pos(astart)
+
+        pool = DPPool(G=fpb.G, Lmax=fpb.Lmax, n=NC,
+                      win_start=astart.astype(np.int64),
+                      rid=ci_rid.astype(np.int64),
+                      scores=ci_score.astype(np.int64),
+                      rows_end=ci_row, lanes_end=ci_lane,
+                      dirs=fpb.res.dirs, jreads=fpb.res.jreads_c,
+                      jquals=fpb.res.jquals_c, wins=fpb.res.wins,
+                      dplane=ci_dplane)
+        # sparse candidate attributes (only emitted candidates are read)
+        ci_or = np.zeros(NC, np.int64)
+        cand_read = np.zeros(NC, np.int64)
+        mm = (r_fc >= 0) & (r_hasl != 0)
+        ci_or[r_fc[mm]] = r_fo[mm]
+        cand_read[r_fc[mm]] = np.arange(B2)[mm]
+        mb = (b1c >= 0) & (p_has != 0)
+        ci_or[b1c[mb]] = b1o[mb]
+        cand_read[b1c[mb]] = np.arange(Bp)[mb]
+        mb = (b2c >= 0) & (p_has != 0)
+        ci_or[b2c[mb]] = b2o[mb]
+        cand_read[b2c[mb]] = Bp + np.arange(Bp)[mb]
+        cs = CandSet(B=B2, Lmax=fpb.Lmax, lens=fpb.lens, fw=fpb.fw,
+                     qu=fpb.qu, rc=fpb.rc, qu_r=fpb.qu_r, minsc=fpb.minsc,
+                     perfect=fpb.perfect, filtered=fpb.filtered, yf=fpb.yf,
+                     n_cand=NC, cand_or=ci_or, rid=ci_rid.astype(np.int64),
+                     valid=np.zeros(NC, bool),
+                     end_pos=(astart + ci_lane).astype(np.int64), pool=pool)
+
+        has = p_has.astype(bool)
+        real = np.arange(B)
+
+        # ---- mate rescue DP for pairs without a concordant combo ----
+        rescue_specs = []
+        for i in real[~has[:B]]:
+            for mate, ri in ((0, i), (1, Bp + i)):
+                if not r_hasl[ri]:
+                    continue
+                wlo, whi, opp_fw = rescue_window(
+                    pol.mate_fw_rc, int(r_flo[ri]), int(r_fhi[ri]),
+                    r_fo[ri] == 0, mate == 0, pol.maxins)
+                opp_ri = (Bp + i) if mate == 0 else i
+                if fpb.filtered[opp_ri] or fpb.lens[opp_ri] == 0:
+                    continue
+                if r_hasl[opp_ri]:
+                    # opposite mate already has a valid alignment: the
+                    # reference never rescue-replaces it (r1105 class)
+                    continue
+                rescue_specs.append((int(i), ri, opp_ri,
+                                     0 if opp_fw else 1, wlo))
+        rpool = None
+        rtb = {}
+        rconc = {}
+        rdisc = {}
+        if rescue_specs:
+            Lmax = fpb.Lmax
+            Gr = max((pol.maxins + 32 - Lmax + 1) // 2,
+                     pol.band_halfwidth(Lmax))
+            r_read = np.array([s[2] for s in rescue_specs], np.int64)
+            r_or = np.array([s[3] for s in rescue_specs], np.int64)
+            r_wlo = np.array([s[4] for s in rescue_specs], np.int64)
+            r_rid = np.searchsorted(
+                self.data.ref_cum,
+                np.array([int(r_flo[s[1]]) for s in rescue_specs]),
+                side="right") - 1
+            self.metrics.add(mate_dps=len(rescue_specs))
+            rpool = self._run_dp(r_wlo, r_rid, r_read, r_or,
+                                 fpb.jboth, fpb.jquals, fpb.lens,
+                                 Gr, Lmax, len(rescue_specs),
+                                 full_width=True)
+            r_valid = rpool.scores >= fpb.minsc[r_read]
+            rsel = np.nonzero(r_valid)[0].astype(np.int32)
+            rtb = self._backtrace_sel(rpool, rsel)
+            for t in rsel.tolist():
+                (i, ari, opp_ri, opp_or, _) = rescue_specs[t]
+                if i in rconc:
+                    continue
+                rlo = int(rpool.win_start[t]) + rtb[t][1]["ref_start_win"]
+                rhi = int(rpool.end_pos(np.array([t]))[0])
+                alo, ahi = int(r_flo[ari]), int(r_fhi[ari])
+                afw = r_fo[ari] == 0
+                if opp_ri >= Bp:     # opposite is mate 2 → anchor is mate 1
+                    typr = pe_classify(pol.mate_fw_rc, alo, ahi, afw,
+                                       rlo, rhi, opp_or == 0,
+                                       pol.minins, pol.maxins, pol.olap_ok,
+                                       pol.contain_ok, pol.dovetail_ok)
+                else:
+                    typr = pe_classify(pol.mate_fw_rc, rlo, rhi,
+                                       opp_or == 0, alo, ahi, afw,
+                                       pol.minins, pol.maxins, pol.olap_ok,
+                                       pol.contain_ok, pol.dovetail_ok)
+                sc_sum = int(r_fs[ari]) + int(rpool.scores[t])
+                payload = ("r", int(r_fc[ari]), t, opp_ri, opp_or, rlo, rhi,
+                           sc_sum, ari)
+                if typr != PE_DISCORD:
+                    rconc[i] = payload
+                elif i not in rdisc:
+                    rdisc[i] = payload
+
+        # ---- emission backtrace of everything reported ----
+        need = set()
+        for i in real[has[:B]]:
+            need.add(int(b1c[i]))
+            need.add(int(b2c[i]))
+        for i, rc_ in list(rconc.items()) + list(rdisc.items()):
+            need.add(rc_[1])
+        for i in real:
+            if has[i] or i in rconc:
+                continue
+            for ri in (i, Bp + i):
+                if r_hasl[ri]:
+                    need.add(int(r_fc[ri]))
+        sel = np.array(sorted(need), np.int32)
+        tb_of = {}
+        if sel.size and not pol.local:
+            ri_s = cand_read[sel]
+            or_s = ci_or[sel]
+            codes_sel = np.where((or_s == 0)[:, None],
+                                 fpb.fw[ri_s], fpb.rc[ri_s])
+            quals_sel = np.where((or_s == 0)[:, None],
+                                 fpb.qu[ri_s], fpb.qu_r[ri_s])
+            tb_of, sel = self._gapless_tb(
+                pool, sel, codes_sel, quals_sel, fpb.lens[ri_s],
+                cs.end_pos[sel])
+            sel = np.asarray(sel, np.int32)
+        if sel.size:
+            tb_of.update(self._backtrace_sel(pool, sel))
+        self.metrics.add(t_host=_time.time() - _t)
+        _t = _time.time()
+
+        # ---- per-pair emission ----
+        st = AlignStats()
+        out: List[SamAlignment] = []
+
+        def _xs_for(ri, srep_cpos):
+            """Best attempted alignment of mate ri EXCLUDING the reported
+            candidate (reference AlnSetSumm bestUnp1/2)."""
+            if r_hasl[ri] and int(r_fc[ri]) != srep_cpos:
+                return int(r_fs[ri])
+            if r_hasl2[ri] and int(r_sc[ri]) != srep_cpos:
+                return int(r_ss[ri])
+            return None
+
+        for i in range(B):
+            rec1, rec2 = fpb.pairs[i]
+            st.pairs += 1
+            st.reads += 2
+            ri1, ri2 = i, Bp + i
+            xs1 = _xs_for(ri1, int(r_fc[ri1]))
+            xs2 = _xs_for(ri2, int(r_fc[ri2]))
+            if has[i]:
+                sec_sum = int(p_sss[i]) if p_nk[i] > 1 else None
+                k1, k2 = int(b1c[i]), int(b2c[i])
+                ok = self._emit_pair(
+                    st, out, cs, i, rec1, rec2,
+                    (k1, pool, tb_of[k1], int(b1o[i]),
+                     int(b1lo[i]), int(b1hi[i])),
+                    (k2, pool, tb_of[k2], int(b2o[i]),
+                     int(b2lo[i]), int(b2hi[i])),
+                    int(b1s[i]) + int(b2s[i]), sec_sum, "CP", True,
+                    xs1=_xs_for(ri1, k1), xs2=_xs_for(ri2, k2))
+                if ok:
+                    if p_nk[i] > 1:
+                        st.conc_multi += 1
+                    else:
+                        st.conc_one += 1
+                    continue
+            elif i in rconc:
+                (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum,
+                 ari) = rconc[i]
+                aarg = (ak_ci, pool, tb_of[ak_ci], int(r_fo[ari]),
+                        int(r_flo[ari]), int(r_fhi[ari]))
+                rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
+                                else (rarg, aarg))
+                ok = self._emit_pair(st, out, cs, i, rec1, rec2,
+                                     marg1, marg2, sc_sum, None, "CP", True,
+                                     xs1=xs1, xs2=xs2)
+                if ok:
+                    st.conc_one += 1
+                    continue
+            # discordant: both mates aligned uniquely (any reference)
+            if not pol.no_discordant and r_nl[ri1] == 1 and r_nl[ri2] == 1:
+                k1, k2 = int(r_fc[ri1]), int(r_fc[ri2])
+                ok = self._emit_pair(
+                    st, out, cs, i, rec1, rec2,
+                    (k1, pool, tb_of[k1], int(r_fo[ri1]),
+                     int(r_flo[ri1]), int(r_fhi[ri1])),
+                    (k2, pool, tb_of[k2], int(r_fo[ri2]),
+                     int(r_flo[ri2]), int(r_fhi[ri2])),
+                    int(r_fs[ri1]) + int(r_fs[ri2]), None, "DP", False)
+                if ok:
+                    st.disc += 1
+                    continue
+            # discordant with a rescue-found mate (YT:Z:DP at finishRead)
+            if not pol.no_discordant and i in rdisc:
+                (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum,
+                 ari) = rdisc[i]
+                if r_nl[ari] == 1 and r_nl[opp_ri] == 0:
+                    aarg = (ak_ci, pool, tb_of[ak_ci], int(r_fo[ari]),
+                            int(r_flo[ari]), int(r_fhi[ari]))
+                    rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                    marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
+                                    else (rarg, aarg))
+                    ok = self._emit_pair(
+                        st, out, cs, i, rec1, rec2, marg1, marg2,
+                        sc_sum, None, "DP", False)
+                    if ok:
+                        st.disc += 1
+                        continue
+            # mixed / unaligned
+            l1 = [int(r_fc[ri1])] if r_hasl[ri1] else []
+            if r_hasl2[ri1]:
+                l1.append(int(r_sc[ri1]))
+            l2 = [int(r_fc[ri2])] if r_hasl[ri2] else []
+            if r_hasl2[ri2]:
+                l2.append(int(r_sc[ri2]))
             self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
         self._merge_stats(st)
         self.metrics.add(t_host=_time.time() - _t)

@@ -165,3 +165,62 @@ def pe_classify_np(policy, lo1, hi1, fw1, lo2, hi2, fw2,
         ok &= ~dove
     typ = np.where(dove, PE_DOVETAIL, typ)
     return np.where(ok, typ, PE_DISCORD).astype(np.int8)
+
+
+def pe_classify_jnp(policy, lo1, hi1, fw1, lo2, hi2, fw2,
+                    minfrag: int, maxfrag: int,
+                    olap_ok: bool = True, contain_ok: bool = True,
+                    dovetail_ok: bool = False,
+                    expand_to_fit: bool = True):
+    """pe_classify_np on jnp arrays (device-side fused-PE pairing).
+
+    Element-for-element identical to the numpy twin (tested); extents must
+    already be DECODED global positions (the large-index mode's wrapped
+    int32 exports go through the & 0xffffffff reinterpretation first).
+    minfrag/maxfrag are trace-time constants."""
+    import jax.numpy as jnp
+    pdt = lo1.dtype
+    len1 = hi1 - lo1 + 1
+    len2 = hi2 - lo2 + 1
+    mx = jnp.maximum(jnp.maximum(jnp.asarray(maxfrag, pdt), len1), len2) \
+        if expand_to_fit else jnp.asarray(maxfrag, pdt)
+    mn = max(minfrag, 1)
+
+    if policy == "ff":
+        compat = fw1 == fw2
+        one_left = fw1
+    elif policy == "rr":
+        compat = fw1 == fw2
+        one_left = ~fw1
+    elif policy == "fr":
+        compat = fw1 != fw2
+        one_left = fw1
+    elif policy == "rf":
+        compat = fw1 != fw2
+        one_left = ~fw1
+    else:
+        raise ValueError(policy)
+
+    frag = jnp.maximum(hi1, hi2) - jnp.minimum(lo1, lo2) + 1
+    ok = compat & (frag <= mx) & (frag >= mn)
+
+    containment = ((lo1 >= lo2) & (hi1 <= hi2)) | \
+                  ((lo2 >= lo1) & (hi2 <= hi1))
+    olap = containment | ((lo1 <= lo2) & (lo2 <= hi1)) | \
+        ((lo1 <= hi2) & (hi2 <= hi1))
+    typ = jnp.full(jnp.broadcast_shapes(lo1.shape, lo2.shape, fw1.shape,
+                                        fw2.shape), PE_NORMAL, jnp.int8)
+    if not olap_ok:
+        ok &= ~olap
+    typ = jnp.where(olap, PE_OVERLAP, typ)
+    wrong = ~olap & ((one_left & (lo2 < lo1)) | (~one_left & (lo1 < lo2)))
+    ok &= ~wrong
+    if not contain_ok:
+        ok &= ~containment
+    typ = jnp.where(containment, PE_CONTAIN, typ)
+    dove = (one_left & ((hi1 > hi2) | (lo2 < lo1))) | \
+           (~one_left & ((hi2 > hi1) | (lo1 < lo2)))
+    if not dovetail_ok:
+        ok &= ~dove
+    typ = jnp.where(dove, PE_DOVETAIL, typ)
+    return jnp.where(ok, typ, PE_DISCORD).astype(jnp.int8)
