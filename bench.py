@@ -255,10 +255,11 @@ def main():
                 # region (round-2 failure mode); Bp pads 3125 -> 4096
                 PB = 3125
                 pa = PairedAligner(edata, make_policy("sensitive"))
-                pa.align_pairs_fast(pairs[:PB], batch=PB)   # warmup/compile
+                pa.align_pairs_fast(pairs[:PB], batch=PB,
+                                    raw=True)   # warmup/compile
                 t0 = time.time()
                 pa2 = PairedAligner(edata, make_policy("sensitive"))
-                n = pa2.align_pairs_fast(pairs, batch=PB)
+                n = pa2.align_pairs_fast(pairs, batch=PB, raw=True)
                 pe_pps = len(pairs) / (time.time() - t0)
                 extra["ecoli_pe_pairs_per_sec"] = round(pe_pps, 1)
                 extra["ecoli_pe_vs_baseline"] = round(

@@ -364,7 +364,7 @@ def cmd_align(argv):
                 sam_cfg[tok[1:].lower()] = False
             else:
                 sam_cfg[tok.lower()] = True
-    raw_mode = (not paired and sam_cfg is None and not args.sam_xt
+    raw_mode = (sam_cfg is None and not args.sam_xt
                 and not args.omit_sec_seq and not args.sam_append_comment
                 and not args.sam_no_qname_trunc)
     rg_suffix = f"\tRG:Z:{args.rg_id}".encode() if args.rg_id else b""
@@ -634,7 +634,7 @@ def cmd_align(argv):
         while pend:
             _drain()
         if raw_mode:
-            need_flags = args.no_unal or un_f or al_f
+            need_flags = args.no_unal or un_f or al_f or unc_f or alc_f
             if need_flags:
                 for i, group in enumerate(results):
                     for fl, line in group:
@@ -647,6 +647,14 @@ def cmd_align(argv):
                         write_fastq_record(un_f, window[i])
                     if al_f and not prim_unal:
                         write_fastq_record(al_f, window[i])
+                    if unc_f or alc_f:
+                        conc = all(fl & 0x2 for fl, _ in group[:2])
+                        if unc_f and not conc:
+                            for m in range(2):
+                                write_fastq_record(unc_f[m], window[i][m])
+                        if alc_f and conc:
+                            for m in range(2):
+                                write_fastq_record(alc_f[m], window[i][m])
             else:
                 bout.write(b"\n".join(
                     line for group in results for _, line in group))

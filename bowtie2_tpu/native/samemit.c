@@ -325,10 +325,10 @@ void pad_reads_c(const int8_t *allseq, const int8_t *allq,
 
 /* ---------------- paired-end SAM tail builder ----------------
  *
- * Builds everything after QNAME for PE records from PRE-BUILT CIGAR/MD
- * strings (the host synthesizes gapless ones from the reference words and
- * batch-decodes the rare gapped ones), plus the PE columns the unpaired
- * builder lacks: RNEXT/PNEXT/TLEN, YS:i and the YT:Z pair-class.
+ * Builds everything after QNAME for PE records: decodes CIGAR/MD from
+ * packed walk-op columns (device backtrace output or the host's gapless
+ * synthesis — same byte layout), plus the PE columns the unpaired builder
+ * lacks: RNEXT/PNEXT/TLEN, YS:i and the YT:Z pair-class.
  *
  *   mode: 0 unaligned, 1 aligned, 2..5 unaligned + YF:Z:{NS,LN,QC,SC}
  *   rname_i / rnext_i: -1 -> '*', -2 -> '=', else name-table index
@@ -347,21 +347,28 @@ int sam_tails_pe(const int8_t *mode,
                  const int32_t *ys, const int8_t *yt,
                  const int8_t *codes, const int8_t *quals,
                  const int32_t *rdlen, int64_t Lmax,
-                 const char *cig_blob, const int64_t *cig_off,
-                 const char *md_blob, const int64_t *md_off,
+                 const uint8_t *ops, int64_t S, int64_t Bc,
+                 const int32_t *cols, const int32_t *read_start,
+                 const int32_t *read_end, const int32_t *bound,
                  const char *names, const int32_t *name_off,
-                 const char *suffix, int64_t n,
+                 const char *suffix, int64_t n, int xeq,
                  char *out, int64_t stride, int32_t *outlen) {
     static const char *YT[4] = { "UU", "CP", "DP", "UP" };
     static const char *YF[4] = { "NS", "LN", "QC", "SC" };
+    enum { MAXOPS = 32768 };
+    uint8_t *scratch = (uint8_t *)malloc(3 * MAXOPS + 2 * (4 * MAXOPS + 64));
+    if (!scratch) return (int)n;
+    uint8_t *opsk = scratch, *refc = scratch + MAXOPS,
+            *ismatch = scratch + 2 * MAXOPS;
+    char *cig = (char *)(scratch + 3 * MAXOPS);
+    char *md = cig + 4 * MAXOPS + 64;
     int bad = 0;
     size_t suffix_len = strlen(suffix);
     for (int64_t r = 0; r < n; r++) {
         char *p = out + r * stride;
+        char *pend = p + stride - 80 - suffix_len;
         int L = rdlen[r];
-        long cl = cig_off[r + 1] - cig_off[r];
-        long ml = md_off[r + 1] - md_off[r];
-        if (2L * L + cl + ml + 200 + (long)suffix_len > stride) {
+        if (2L * L + 200 + (long)suffix_len > stride) {
             outlen[r] = 0; bad++; continue;
         }
         *p++ = '\t';
@@ -375,8 +382,21 @@ int sam_tails_pe(const int8_t *mode,
         } else {
             memcpy(p, "*\t0\t0\t", 6); p += 6;
         }
+        long cl = 0, ml = 0;
         if (mode[r] == 1) {
-            memcpy(p, cig_blob + cig_off[r], cl); p += cl;
+            int b = bound[r] < (int)S ? bound[r] : (int)S;
+            if (b > MAXOPS ||
+                decode_one(ops + cols[r], Bc, b, read_start[r], read_end[r],
+                           L, codes + r * Lmax, xeq, opsk, refc, ismatch,
+                           cig, 4 * MAXOPS + 64, md, 4 * MAXOPS + 64) != 0) {
+                outlen[r] = 0; bad++; continue;
+            }
+            cl = (long)strlen(cig);
+            ml = (long)strlen(md);
+            if (p + cl + ml + 2L * L + 160 > pend) {
+                outlen[r] = 0; bad++; continue;
+            }
+            memcpy(p, cig, cl); p += cl;
         } else {
             *p++ = '*';
         }
@@ -407,7 +427,7 @@ int sam_tails_pe(const int8_t *mode,
             memcpy(p, "\tXG:i:", 6); p += 6; p = put_i32(p, xg[r]);
             memcpy(p, "\tNM:i:", 6); p += 6; p = put_i32(p, xm[r] + xg[r]);
             memcpy(p, "\tMD:Z:", 6); p += 6;
-            memcpy(p, md_blob + md_off[r], ml); p += ml;
+            memcpy(p, md, ml); p += ml;
             if (ys[r] != INT32_MIN) {
                 memcpy(p, "\tYS:i:", 6); p += 6; p = put_i32(p, ys[r]);
             }
@@ -427,5 +447,6 @@ int sam_tails_pe(const int8_t *mode,
         memcpy(p, suffix, suffix_len); p += suffix_len;
         outlen[r] = (int32_t)(p - (out + r * stride));
     }
+    free(scratch);
     return bad;
 }

@@ -130,6 +130,62 @@ def sam_tails_batch(mode, flag, rname_i, pos, mapq, opt_as, opt_xs,
     return [raw[r * stride:r * stride + outlen[r]] for r in range(n)]
 
 
+_lib.sam_tails_pe.restype = ctypes.c_int
+_lib.sam_tails_pe.argtypes = [
+    _i8p,                                   # mode
+    _i32p, _i32p, _i32p, _i32p,             # flag rname pos mapq
+    _i32p, _i32p, _i32p,                    # rnext pnext tlen
+    _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,  # as xs xn xm xo xg
+    _i32p, _i8p,                            # ys yt
+    _i8p, _i8p, _i32p, ctypes.c_int64,      # codes quals rdlen Lmax
+    _u8p, ctypes.c_int64, ctypes.c_int64,   # ops S Bc
+    _i32p, _i32p, _i32p, _i32p,             # cols read_start read_end bound
+    ctypes.c_char_p, _i32p,                 # names name_off
+    ctypes.c_char_p, ctypes.c_int64,        # suffix n
+    ctypes.c_int,                           # xeq
+    ctypes.c_char_p, ctypes.c_int64, _i32p,  # out stride outlen
+]
+
+
+def sam_tails_pe_batch(mode, flag, rname_i, pos, mapq, rnext_i, pnext,
+                       tlen, opt_as, opt_xs, xn, xm, xo, xg, ys, yt,
+                       codes, quals, rdlen,
+                       ops, cols, read_start, read_end, bound,
+                       names: RefNameTable, suffix: bytes,
+                       xeq: bool = False):
+    """Build PE SAM line tails (everything after QNAME) for n records.
+
+    CIGAR/MD decode from packed walk-op columns like sam_tails_batch;
+    adds RNEXT/PNEXT/TLEN, YS:i (YS_OMIT = omit), YT:Z (0 UU / 1 CP /
+    2 DP / 3 UP). rname_i/rnext_i: -1 '*', -2 '=', else name index.
+    Returns a list of bytes objects (one per record)."""
+    n = int(flag.size)
+    if n == 0:
+        return []
+    ops = np.ascontiguousarray(ops)
+    codes = np.ascontiguousarray(codes, np.int8)
+    quals = np.ascontiguousarray(quals, np.int8)
+    Lmax = codes.shape[1]
+    stride = 8 * Lmax + 512
+    out = ctypes.create_string_buffer(n * stride)
+    outlen = np.zeros(n, np.int32)
+    a32 = lambda x: np.ascontiguousarray(x, np.int32)
+    bad = _lib.sam_tails_pe(
+        np.ascontiguousarray(mode, np.int8),
+        a32(flag), a32(rname_i), a32(pos), a32(mapq),
+        a32(rnext_i), a32(pnext), a32(tlen),
+        a32(opt_as), a32(opt_xs), a32(xn), a32(xm), a32(xo), a32(xg),
+        a32(ys), np.ascontiguousarray(yt, np.int8),
+        codes, quals, a32(rdlen), Lmax,
+        ops, ops.shape[0], ops.shape[1],
+        a32(cols), a32(read_start), a32(read_end), a32(bound),
+        names.blob, names.offs, suffix, n, int(xeq), out, stride, outlen)
+    if bad:
+        raise RuntimeError(f"sam_tails_pe: {bad} records overflowed")
+    raw = out.raw
+    return [raw[r * stride:r * stride + outlen[r]] for r in range(n)]
+
+
 _lib.pad_reads_c.restype = None
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _lib.pad_reads_c.argtypes = [

@@ -137,8 +137,11 @@ def _round_batch(n: int, lo: int = 256) -> int:
     """Batch-row padding: pow2 below 1024, multiples of 1024 above.
 
     Pow2-everywhere padded 4653 reads to 8192 rows (76% extra gather
-    rows in every FM phase); 1024-granularity caps padding waste at
-    ~20% while keeping the compiled-shape family small."""
+    rows in every FM phase); 1024-granularity is never worse than pow2
+    padding and caps waste at ~20% once n is well above ~5k (just past
+    a boundary — e.g. 1025 -> 2048 — waste still approaches 100%,
+    exactly as pow2 would), while keeping the compiled-shape family
+    small."""
     b = lo
     while b < n and b < 1024:
         b *= 2
@@ -310,6 +313,8 @@ class CandSet:
 
 class BatchAligner:
     """Shared search machinery for unpaired and paired aligners."""
+
+    _names_tab = None      # RefNameTable for the native line builders
 
     MAX_EXACT_ROWS = 4      # rows resolved per exact-hit range per orientation
     NC_PER_READ = 16        # candidate extension budget per read (~ -D/maxIters)
@@ -722,20 +727,18 @@ class BatchAligner:
         return pool
 
     # ---------------- phase 6: backtrace of chosen problems ----------------
-    def _gapless_tb(self, pool: DPPool, sel: np.ndarray,
-                    codes_sel: np.ndarray, quals_sel: np.ndarray,
-                    lens_sel: np.ndarray, end_sel: np.ndarray):
-        """Host gapless fast path for emission backtraces (e2e only).
+    def _gapless_core(self, pool: DPPool, sel: np.ndarray,
+                      codes_sel: np.ndarray, quals_sel: np.ndarray,
+                      lens_sel: np.ndarray, end_sel: np.ndarray):
+        """Vectorized gapless-diagonal readout for emission (e2e only).
 
         A candidate whose DP score equals the pure diagonal score ending at
         its best cell walks that diagonal exactly (the forward pass prefers
         DIAG on ties — see ops/sw.diag_readout for the induction), so its
         CIGAR/MD/edit counts can be synthesized from the reference words
         directly, skipping the device backtrace round trip. Returns
-        (tb dict for the gapless members, remaining sel array)."""
+        (okg, eq, fc, g0, nmm, nrefn) over sel."""
         pol = self.pol
-        if sel.size == 0 or pol.local:
-            return {}, sel
         p = pol.sw_params()
         L = lens_sel.astype(np.int64)
         rows_end = pool.rows_end[sel]
@@ -770,6 +773,20 @@ class BatchAligner:
         nmm = ((live & ((~eq & (rd < 4) & (fc != 4)) | is_n))
                .astype(np.int64)).sum(axis=1)
         nrefn = (live & (fc == 4)).sum(axis=1)
+        return okg, eq, fc, g0, nmm, nrefn
+
+    def _gapless_tb(self, pool: DPPool, sel: np.ndarray,
+                    codes_sel: np.ndarray, quals_sel: np.ndarray,
+                    lens_sel: np.ndarray, end_sel: np.ndarray):
+        """_gapless_core + per-candidate CIGAR/MD string synthesis.
+
+        Returns (tb dict for the gapless members, remaining sel array)."""
+        pol = self.pol
+        if sel.size == 0 or pol.local:
+            return {}, sel
+        okg, eq, fc, g0, nmm, nrefn = self._gapless_core(
+            pool, sel, codes_sel, quals_sel, lens_sel, end_sel)
+        L = lens_sel.astype(np.int64)
 
         from bowtie2_tpu.pipeline.backtrace import _REF_CHARS
         tb = {}
@@ -803,6 +820,36 @@ class BatchAligner:
             tb[k] = (None, sc)
         return tb, sel[~okg]
 
+    def _gapless_tb_raw(self, pool: DPPool, sel: np.ndarray,
+                        codes_sel: np.ndarray, quals_sel: np.ndarray,
+                        lens_sel: np.ndarray, end_sel: np.ndarray):
+        """_gapless_core + VECTORIZED packed-op column synthesis for the
+        native line builder (no per-candidate Python): gapless candidates
+        get an all-OP_M walk column carrying (refchar, ismatch) bits, the
+        same byte layout the device backtrace emits (ops/sw.py
+        diag_readout), so the C decoder handles both uniformly.
+
+        Returns (okg, ops_syn (nsel, Lmax) uint8 walk rows,
+        ref_start_win, nmm, nrefn)."""
+        from bowtie2_tpu.ops.sw import OP_M, OP_NONE
+        if sel.size == 0 or self.pol.local:
+            z = np.zeros(0, np.int64)
+            return (np.zeros(0, bool),
+                    np.zeros((0, codes_sel.shape[1]), np.uint8), z, z, z)
+        okg, eq, fc, g0, nmm, nrefn = self._gapless_core(
+            pool, sel, codes_sel, quals_sel, lens_sel, end_sel)
+        L = lens_sel.astype(np.int64)
+        Lm = codes_sel.shape[1]
+        ar = np.arange(Lm, dtype=np.int64)
+        pos = L[:, None] - 1 - ar[None, :]          # walk step -> read pos
+        posc = np.clip(pos, 0, Lm - 1)
+        opb = (OP_M
+               | (np.take_along_axis(fc, posc, axis=1) << 2)
+               | (np.take_along_axis(eq.astype(np.int64), posc, axis=1)
+                  << 5))
+        ops_syn = np.where(pos >= 0, opb, OP_NONE).astype(np.uint8)
+        return okg, ops_syn, g0 - pool.win_start[sel], nmm, nrefn
+
     def _backtrace_sel(self, pool: DPPool, sel: np.ndarray):
         """Backtrace pool problems sel → {k: (opcol, scalars dict)}."""
         if sel.size == 0:
@@ -819,7 +866,16 @@ class BatchAligner:
             # A candidate reaching the scan walk is gapped, hence DP'd
             # (bypassed ones were synthesized by the gapless fast path);
             # a -1 here would walk lane 0's garbage, which the
-            # score_check safety net downstream rejects.
+            # score_check safety net downstream rejects — log it loudly
+            # so a device/host scoring divergence can't silently drop
+            # alignments (mirrors the device-side n_dplmiss counter).
+            n_miss = int((pool.dplane[sel] < 0).sum())
+            if n_miss:
+                sys.stderr.write(
+                    f"warning: {n_miss} DP-bypassed candidates reached "
+                    "the backtrace walk (gapless recompute mismatch); "
+                    "their score_check will reject them\n")
+                self.metrics.add(host_dplmiss=n_miss)
             jsel_dirs = self._put(
                 np.clip(pool.dplane[sel_pad], 0, None).astype(np.int32))
         if getattr(pool, "diag", False):
@@ -1974,7 +2030,6 @@ class UnpairedAligner(BatchAligner):
         self.metrics.add(t_host=_time.time() - _t)
         return groups
 
-    _names_tab = None
 
     def _synth_replay_group(self, rec: SeqRecord, recs, cnt: int, L: int,
                             minsc_ri: int, oriented,
@@ -2380,21 +2435,68 @@ class PairedAligner(BatchAligner):
             return self.align_batch_host(h[1])
         return self._collect_fused(h)
 
+    def collect_raw(self, h, suffix: bytes = b""
+                    ) -> List[List[Tuple[int, bytes]]]:
+        """collect(), but emit finished SAM line bytes via the native PE
+        line builder: one group per PAIR, each entry (flag, line). The
+        fast path builds concordant pairs fully vectorized (native C
+        CIGAR/MD decode + line assembly); legacy/k-mode/host batches fall
+        back to object records rendered to lines."""
+        if h is None:
+            return []
+        if isinstance(h, tuple) and h[0] == "host":
+            return self._pe_groups_from_objects(
+                len(h[1]), self.align_batch_host(h[1]), suffix)
+        from bowtie2_tpu.ops.fused import PE_PAIR_FIELDS
+        dec = self._pe_decode(h)
+        if dec is None:    # DP budget overflow
+            return self._pe_groups_from_objects(
+                len(h.pairs), self.align_batch_host(h.pairs), suffix)
+        rf, pf, ee, snz, cif = dec
+        if h.pairing is None or pf[PE_PAIR_FIELDS - 1, :h.B].any():
+            return self._pe_groups_from_objects(
+                h.B, self._collect_fused_legacy(h, ee, snz, cif), suffix)
+        return self._collect_fused_fast_raw(h, rf, pf, cif, suffix)
+
+    @staticmethod
+    def _pe_groups_from_objects(n_pairs, out, suffix):
+        """Group a flat SamAlignment list into per-pair (flag, line)
+        groups. A group holds one primary record per mate (half-mapped
+        pairs may lead with the aligned MATE 2 record — finishRead
+        order), plus any secondaries; a new group starts at a primary
+        record for a mate the current group already has."""
+        groups = []
+        s1 = s2 = True          # force a new group at the first record
+        for r in out:
+            m1 = bool(r.flag & FLAG_MATE1)
+            if not (r.flag & 0x100) and (s1 if m1 else s2):
+                groups.append([])
+                s1 = s2 = False
+            if not (r.flag & 0x100):
+                if m1:
+                    s1 = True
+                else:
+                    s2 = True
+            groups[-1].append((r.flag, r.line().encode() + suffix))
+        assert len(groups) == n_pairs
+        return groups
+
     def align_batch(self, pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
                     ) -> List[SamAlignment]:
         return self.collect(self.submit(pairs))
 
-    def align_pairs_fast(self, pairs, batch: int = 2048, depth: int = 3
-                         ) -> int:
+    def align_pairs_fast(self, pairs, batch: int = 2048, depth: int = 3,
+                         raw: bool = False) -> int:
         """Pipelined submit/collect over a whole corpus (bench helper)."""
         from collections import deque
         pend = deque()
+        drain = self.collect_raw if raw else self.collect
         for k in range(0, len(pairs), batch):
             pend.append(self.submit(pairs[k:k + batch]))
             if len(pend) > depth:
-                self.collect(pend.popleft())
+                drain(pend.popleft())
         while pend:
-            self.collect(pend.popleft())
+            drain(pend.popleft())
         return len(pairs)
 
     def align_batch_host(self, pairs: Sequence[Tuple[SeqRecord, SeqRecord]]
@@ -2660,10 +2762,22 @@ class PairedAligner(BatchAligner):
         suppression 1mm-legality or non-fast -D replay (the device flags
         those via `hostneed`); it re-runs the full pairing from the
         per-slot export, byte-identical by construction."""
+        from bowtie2_tpu.ops.fused import PE_PAIR_FIELDS
+        dec = self._pe_decode(fpb)
+        if dec is None:
+            # DP budget overflow: rerun on the uncapped host path (rare)
+            return self.align_batch_host(fpb.pairs)
+        rf, pf, ee, snz, cif = dec
+        if fpb.pairing is None or pf[PE_PAIR_FIELDS - 1, :fpb.B].any():
+            return self._collect_fused_legacy(fpb, ee, snz, cif)
+        return self._collect_fused_fast(fpb, rf, pf, cif)
+
+    def _pe_decode(self, fpb: FusedPEBatch):
+        """Pull + split the compact fused-PE blob. None on DP overflow."""
         from bowtie2_tpu.ops.fused import (PE_CI_FIELDS, PE_PAIR_FIELDS,
                                            PE_READ_FIELDS)
         import time as _time
-        B, Bp, B2, NC = fpb.B, fpb.Bp, fpb.B2, fpb.NC
+        B2, Bp, NC = fpb.B2, fpb.Bp, fpb.NC
         _t = _time.time()
         meta = np.asarray(fpb.res.blob)
         self.metrics.add(t_dp=_time.time() - _t)
@@ -2678,12 +2792,9 @@ class PairedAligner(BatchAligner):
         cif = meta[off:off + PE_CI_FIELDS * NC].reshape(PE_CI_FIELDS, NC)
         off += PE_CI_FIELDS * NC
         if int(meta[off]) > 0:
-            # DP budget overflow: rerun on the uncapped host path (rare)
             sys.stderr.write("fused PE DP budget exceeded; falling back\n")
-            return self.align_batch_host(fpb.pairs)
-        if fpb.pairing is None or pf[PE_PAIR_FIELDS - 1, :B].any():
-            return self._collect_fused_legacy(fpb, ee, snz, cif)
-        return self._collect_fused_fast(fpb, rf, pf, cif)
+            return None
+        return rf, pf, ee, snz, cif
 
     def _collect_fused_legacy(self, fpb: FusedPEBatch, ee, snz, cif
                               ) -> List[SamAlignment]:
@@ -3136,19 +3247,15 @@ class PairedAligner(BatchAligner):
         self.metrics.add(t_host=_time.time() - _t)
         return out
 
-    def _collect_fused_fast(self, fpb: FusedPEBatch, rf, pf, cif
-                            ) -> List[SamAlignment]:
-        """Emit straight from the device pairing decisions (the common
-        path): per-pair best concordant combo + per-read eff-ranked heads
-        arrive in the compact blob, so the host only runs mate-rescue DP
-        for conc-less pairs, the emission backtrace, and record building.
-        Byte-identical to _collect_fused_legacy (same decision math,
-        mirrored on device in ops/fused.py _pe_pairing; cross-checked by
-        tests/test_golden.py and the force_host_pairing differential)."""
-        import time as _time
+    def _pe_fast_prep(self, fpb: FusedPEBatch, rf, pf, cif):
+        """Shared decode + rescue for the fast path: unpack the device
+        pairing decisions, reconstruct the DP pool and run mate-rescue DP
+        for conc-less pairs. Returns a namespace consumed by the object
+        (_collect_fused_fast) and native-line (_collect_fused_fast_raw)
+        emitters."""
+        from types import SimpleNamespace
         pol = self.pol
         B, Bp, B2, T, NC = fpb.B, fpb.Bp, fpb.B2, fpb.T, fpb.NC
-        _t = _time.time()
         large = self._row_dtype == np.int64
         (r_fc, r_fo, r_flo32, r_fhi32, r_fs, r_hasl,
          r_sc, r_ss, r_hasl2, r_nl) = rf
@@ -3261,24 +3368,135 @@ class PairedAligner(BatchAligner):
                 elif i not in rdisc:
                     rdisc[i] = payload
 
-        # ---- emission backtrace of everything reported ----
+        return SimpleNamespace(
+            fpb=fpb, pool=pool, cs=cs, cand_read=cand_read, ci_or=ci_or,
+            has=has, real=real, rpool=rpool, rtb=rtb, rconc=rconc,
+            rdisc=rdisc, r_fc=r_fc, r_fo=r_fo, r_flo=r_flo, r_fhi=r_fhi,
+            r_fs=r_fs, r_hasl=r_hasl, r_sc=r_sc, r_ss=r_ss,
+            r_hasl2=r_hasl2, r_nl=r_nl, b1c=b1c, b1o=b1o, b1lo=b1lo,
+            b1hi=b1hi, b1s=b1s, b2c=b2c, b2o=b2o, b2lo=b2lo, b2hi=b2hi,
+            b2s=b2s, p_sss=p_sss, p_nk=p_nk)
+
+    def _xs_fast(self, ns, ri, srep_cpos):
+        """Best attempted alignment of mate ri EXCLUDING the reported
+        candidate (reference AlnSetSumm bestUnp1/2)."""
+        if ns.r_hasl[ri] and int(ns.r_fc[ri]) != srep_cpos:
+            return int(ns.r_fs[ri])
+        if ns.r_hasl2[ri] and int(ns.r_sc[ri]) != srep_cpos:
+            return int(ns.r_ss[ri])
+        return None
+
+    def _emit_fast_pair(self, ns, i, st, out, tb_of):
+        """Emit one pair from the device decisions (object records).
+        Mirrors _collect_fused_legacy's default-mode emission order."""
+        fpb = ns.fpb
+        pol = self.pol
+        Bp = fpb.Bp
+        pool, cs, rpool, rtb = ns.pool, ns.cs, ns.rpool, ns.rtb
+        rec1, rec2 = fpb.pairs[i]
+        st.pairs += 1
+        st.reads += 2
+        ri1, ri2 = i, Bp + i
+        xs1 = self._xs_fast(ns, ri1, int(ns.r_fc[ri1]))
+        xs2 = self._xs_fast(ns, ri2, int(ns.r_fc[ri2]))
+        if ns.has[i]:
+            sec_sum = int(ns.p_sss[i]) if ns.p_nk[i] > 1 else None
+            k1, k2 = int(ns.b1c[i]), int(ns.b2c[i])
+            ok = self._emit_pair(
+                st, out, cs, i, rec1, rec2,
+                (k1, pool, tb_of[k1], int(ns.b1o[i]),
+                 int(ns.b1lo[i]), int(ns.b1hi[i])),
+                (k2, pool, tb_of[k2], int(ns.b2o[i]),
+                 int(ns.b2lo[i]), int(ns.b2hi[i])),
+                int(ns.b1s[i]) + int(ns.b2s[i]), sec_sum, "CP", True,
+                xs1=self._xs_fast(ns, ri1, k1),
+                xs2=self._xs_fast(ns, ri2, k2))
+            if ok:
+                if ns.p_nk[i] > 1:
+                    st.conc_multi += 1
+                else:
+                    st.conc_one += 1
+                return
+        elif i in ns.rconc:
+            (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum,
+             ari) = ns.rconc[i]
+            aarg = (ak_ci, pool, tb_of[ak_ci], int(ns.r_fo[ari]),
+                    int(ns.r_flo[ari]), int(ns.r_fhi[ari]))
+            rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
+            marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
+                            else (rarg, aarg))
+            ok = self._emit_pair(st, out, cs, i, rec1, rec2,
+                                 marg1, marg2, sc_sum, None, "CP", True,
+                                 xs1=xs1, xs2=xs2)
+            if ok:
+                st.conc_one += 1
+                return
+        # discordant: both mates aligned uniquely (any reference)
+        if not pol.no_discordant and ns.r_nl[ri1] == 1 and ns.r_nl[ri2] == 1:
+            k1, k2 = int(ns.r_fc[ri1]), int(ns.r_fc[ri2])
+            ok = self._emit_pair(
+                st, out, cs, i, rec1, rec2,
+                (k1, pool, tb_of[k1], int(ns.r_fo[ri1]),
+                 int(ns.r_flo[ri1]), int(ns.r_fhi[ri1])),
+                (k2, pool, tb_of[k2], int(ns.r_fo[ri2]),
+                 int(ns.r_flo[ri2]), int(ns.r_fhi[ri2])),
+                int(ns.r_fs[ri1]) + int(ns.r_fs[ri2]), None, "DP", False)
+            if ok:
+                st.disc += 1
+                return
+        # discordant with a rescue-found mate (YT:Z:DP at finishRead)
+        if not pol.no_discordant and i in ns.rdisc:
+            (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum,
+             ari) = ns.rdisc[i]
+            if ns.r_nl[ari] == 1 and ns.r_nl[opp_ri] == 0:
+                aarg = (ak_ci, pool, tb_of[ak_ci], int(ns.r_fo[ari]),
+                        int(ns.r_flo[ari]), int(ns.r_fhi[ari]))
+                rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
+                marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
+                                else (rarg, aarg))
+                ok = self._emit_pair(
+                    st, out, cs, i, rec1, rec2, marg1, marg2,
+                    sc_sum, None, "DP", False)
+                if ok:
+                    st.disc += 1
+                    return
+        # mixed / unaligned
+        l1 = [int(ns.r_fc[ri1])] if ns.r_hasl[ri1] else []
+        if ns.r_hasl2[ri1]:
+            l1.append(int(ns.r_sc[ri1]))
+        l2 = [int(ns.r_fc[ri2])] if ns.r_hasl[ri2] else []
+        if ns.r_hasl2[ri2]:
+            l2.append(int(ns.r_sc[ri2]))
+        self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
+
+    def _fast_need(self, ns, pairs_iter):
+        """Emission-backtrace candidate set for the given pairs."""
         need = set()
-        for i in real[has[:B]]:
-            need.add(int(b1c[i]))
-            need.add(int(b2c[i]))
-        for i, rc_ in list(rconc.items()) + list(rdisc.items()):
-            need.add(rc_[1])
-        for i in real:
-            if has[i] or i in rconc:
+        Bp = ns.fpb.Bp
+        for i in pairs_iter:
+            if ns.has[i]:
+                need.add(int(ns.b1c[i]))
+                need.add(int(ns.b2c[i]))
                 continue
+            if i in ns.rconc:
+                need.add(ns.rconc[i][1])
+                continue
+            if i in ns.rdisc:
+                need.add(ns.rdisc[i][1])
             for ri in (i, Bp + i):
-                if r_hasl[ri]:
-                    need.add(int(r_fc[ri]))
+                if ns.r_hasl[ri]:
+                    need.add(int(ns.r_fc[ri]))
+        return need
+
+    def _fast_tb(self, ns, need):
+        """tb dict for the `need` candidates (gapless host synthesis +
+        device backtrace for the rest)."""
+        fpb, pool, cs = ns.fpb, ns.pool, ns.cs
         sel = np.array(sorted(need), np.int32)
         tb_of = {}
-        if sel.size and not pol.local:
-            ri_s = cand_read[sel]
-            or_s = ci_or[sel]
+        if sel.size and not self.pol.local:
+            ri_s = ns.cand_read[sel]
+            or_s = ns.ci_or[sel]
             codes_sel = np.where((or_s == 0)[:, None],
                                  fpb.fw[ri_s], fpb.rc[ri_s])
             quals_sel = np.where((or_s == 0)[:, None],
@@ -3289,100 +3507,266 @@ class PairedAligner(BatchAligner):
             sel = np.asarray(sel, np.int32)
         if sel.size:
             tb_of.update(self._backtrace_sel(pool, sel))
+        return tb_of
+
+    def _collect_fused_fast(self, fpb: FusedPEBatch, rf, pf, cif
+                            ) -> List[SamAlignment]:
+        """Emit straight from the device pairing decisions (the common
+        path): per-pair best concordant combo + per-read eff-ranked heads
+        arrive in the compact blob, so the host only runs mate-rescue DP
+        for conc-less pairs, the emission backtrace, and record building.
+        Byte-identical to _collect_fused_legacy (same decision math,
+        mirrored on device in ops/fused.py _pe_pairing; cross-checked by
+        tests/test_pe_devpair.py and the golden corpora)."""
+        import time as _time
+        _t = _time.time()
+        ns = self._pe_fast_prep(fpb, rf, pf, cif)
+        tb_of = self._fast_tb(ns, self._fast_need(ns, range(fpb.B)))
         self.metrics.add(t_host=_time.time() - _t)
         _t = _time.time()
-
-        # ---- per-pair emission ----
         st = AlignStats()
         out: List[SamAlignment] = []
-
-        def _xs_for(ri, srep_cpos):
-            """Best attempted alignment of mate ri EXCLUDING the reported
-            candidate (reference AlnSetSumm bestUnp1/2)."""
-            if r_hasl[ri] and int(r_fc[ri]) != srep_cpos:
-                return int(r_fs[ri])
-            if r_hasl2[ri] and int(r_sc[ri]) != srep_cpos:
-                return int(r_ss[ri])
-            return None
-
-        for i in range(B):
-            rec1, rec2 = fpb.pairs[i]
-            st.pairs += 1
-            st.reads += 2
-            ri1, ri2 = i, Bp + i
-            xs1 = _xs_for(ri1, int(r_fc[ri1]))
-            xs2 = _xs_for(ri2, int(r_fc[ri2]))
-            if has[i]:
-                sec_sum = int(p_sss[i]) if p_nk[i] > 1 else None
-                k1, k2 = int(b1c[i]), int(b2c[i])
-                ok = self._emit_pair(
-                    st, out, cs, i, rec1, rec2,
-                    (k1, pool, tb_of[k1], int(b1o[i]),
-                     int(b1lo[i]), int(b1hi[i])),
-                    (k2, pool, tb_of[k2], int(b2o[i]),
-                     int(b2lo[i]), int(b2hi[i])),
-                    int(b1s[i]) + int(b2s[i]), sec_sum, "CP", True,
-                    xs1=_xs_for(ri1, k1), xs2=_xs_for(ri2, k2))
-                if ok:
-                    if p_nk[i] > 1:
-                        st.conc_multi += 1
-                    else:
-                        st.conc_one += 1
-                    continue
-            elif i in rconc:
-                (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum,
-                 ari) = rconc[i]
-                aarg = (ak_ci, pool, tb_of[ak_ci], int(r_fo[ari]),
-                        int(r_flo[ari]), int(r_fhi[ari]))
-                rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
-                marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
-                                else (rarg, aarg))
-                ok = self._emit_pair(st, out, cs, i, rec1, rec2,
-                                     marg1, marg2, sc_sum, None, "CP", True,
-                                     xs1=xs1, xs2=xs2)
-                if ok:
-                    st.conc_one += 1
-                    continue
-            # discordant: both mates aligned uniquely (any reference)
-            if not pol.no_discordant and r_nl[ri1] == 1 and r_nl[ri2] == 1:
-                k1, k2 = int(r_fc[ri1]), int(r_fc[ri2])
-                ok = self._emit_pair(
-                    st, out, cs, i, rec1, rec2,
-                    (k1, pool, tb_of[k1], int(r_fo[ri1]),
-                     int(r_flo[ri1]), int(r_fhi[ri1])),
-                    (k2, pool, tb_of[k2], int(r_fo[ri2]),
-                     int(r_flo[ri2]), int(r_fhi[ri2])),
-                    int(r_fs[ri1]) + int(r_fs[ri2]), None, "DP", False)
-                if ok:
-                    st.disc += 1
-                    continue
-            # discordant with a rescue-found mate (YT:Z:DP at finishRead)
-            if not pol.no_discordant and i in rdisc:
-                (_, ak_ci, t, opp_ri, opp_or, rlo, rhi, sc_sum,
-                 ari) = rdisc[i]
-                if r_nl[ari] == 1 and r_nl[opp_ri] == 0:
-                    aarg = (ak_ci, pool, tb_of[ak_ci], int(r_fo[ari]),
-                            int(r_flo[ari]), int(r_fhi[ari]))
-                    rarg = (t, rpool, rtb[t], opp_or, rlo, rhi)
-                    marg1, marg2 = ((aarg, rarg) if opp_ri >= Bp
-                                    else (rarg, aarg))
-                    ok = self._emit_pair(
-                        st, out, cs, i, rec1, rec2, marg1, marg2,
-                        sc_sum, None, "DP", False)
-                    if ok:
-                        st.disc += 1
-                        continue
-            # mixed / unaligned
-            l1 = [int(r_fc[ri1])] if r_hasl[ri1] else []
-            if r_hasl2[ri1]:
-                l1.append(int(r_sc[ri1]))
-            l2 = [int(r_fc[ri2])] if r_hasl[ri2] else []
-            if r_hasl2[ri2]:
-                l2.append(int(r_sc[ri2]))
-            self._emit_mixed(st, out, cs, i, rec1, rec2, l1, l2, tb_of)
+        for i in range(fpb.B):
+            self._emit_fast_pair(ns, i, st, out, tb_of)
         self._merge_stats(st)
         self.metrics.add(t_host=_time.time() - _t)
         return out
+
+    def _collect_fused_fast_raw(self, fpb: FusedPEBatch, rf, pf, cif,
+                                suffix: bytes
+                                ) -> List[List[Tuple[int, bytes]]]:
+        """_collect_fused_fast, emitting finished SAM line bytes via the
+        native PE line builder (native/samemit.c sam_tails_pe): concordant
+        pairs — the overwhelming majority — are built fully VECTORIZED
+        (flags/positions/TLEN/XS as arrays, CIGAR/MD decoded in C from
+        device-backtrace or host-synthesized gapless op columns); only
+        rescue/discordant/mixed pairs and score-check failures take the
+        per-pair object path. Returns one [(flag, line bytes)] group per
+        pair."""
+        import time as _time
+        from bowtie2_tpu.native.samemit import (RefNameTable, XS_OMIT,
+                                                sam_tails_pe_batch)
+        pol = self.pol
+        _t = _time.time()
+        B, Bp = fpb.B, fpb.Bp
+        ns = self._pe_fast_prep(fpb, rf, pf, cif)
+        pool = ns.pool
+
+        # ---- candidate decode: gapless synthesis + device backtrace ----
+        vec0 = ns.real[ns.has[:B]]                    # candidate vec pairs
+        need_vec = set()
+        for i in vec0:
+            need_vec.add(int(ns.b1c[i]))
+            need_vec.add(int(ns.b2c[i]))
+        sel = np.array(sorted(need_vec), np.int32)
+        nsel = sel.size
+        selidx = {int(k): t for t, k in enumerate(sel.tolist())}
+        # per-candidate scalar fields, filled from both sources
+        c_rdstart = np.zeros(nsel, np.int32)
+        c_refwin = np.zeros(nsel, np.int64)
+        c_nmm = np.zeros(nsel, np.int32)
+        c_ngo = np.zeros(nsel, np.int32)
+        c_ngc = np.zeros(nsel, np.int32)
+        c_nrefn = np.zeros(nsel, np.int32)
+        c_scchk = np.full(nsel, -(1 << 60), np.int64)
+        Lsel = fpb.lens[ns.cand_read[sel]] if nsel else np.zeros(0, np.int64)
+        or_s = ns.ci_or[sel]
+        ri_s = ns.cand_read[sel]
+        codes_sel = np.where((or_s == 0)[:, None],
+                             fpb.fw[ri_s], fpb.rc[ri_s]) \
+            if nsel else np.zeros((0, fpb.Lmax), np.int8)
+        ops_cols = np.full(nsel, 0, np.int32)
+        S_walk = 1
+        ops_mat = np.zeros((1, max(nsel, 1)), np.uint8)
+        if nsel:
+            quals_sel = np.where((or_s == 0)[:, None],
+                                 fpb.qu[ri_s], fpb.qu_r[ri_s])
+            if not pol.local:
+                okg, ops_syn, refwin_g, nmm_g, nrefn_g = self._gapless_tb_raw(
+                    pool, sel, codes_sel, quals_sel, Lsel,
+                    ns.cs.end_pos[sel])
+            else:
+                okg = np.zeros(nsel, bool)
+            walk_sel = sel[~okg]
+            tbw = {}
+            if walk_sel.size:
+                tbw = self._backtrace_sel(pool, walk_sel)
+            # assemble a single (S, nsel) op matrix: gapless columns from
+            # the host synthesis, walked columns from the device output
+            S_walk = max((v[0].shape[0] for v in tbw.values()), default=1)
+            S_walk = max(S_walk, fpb.Lmax)
+            ops_mat = np.full((S_walk, nsel), 3, np.uint8)   # OP_NONE
+            if okg.any():
+                gi = np.nonzero(okg)[0]
+                ops_mat[:ops_syn.shape[1], gi] = ops_syn[gi].T
+                c_refwin[gi] = refwin_g[gi]
+                c_nmm[gi] = nmm_g[gi]
+                c_nrefn[gi] = nrefn_g[gi]
+                c_scchk[gi] = pool.scores[sel[gi]]
+            for k, (opcol, sc) in tbw.items():
+                t = selidx[k]
+                ops_mat[:opcol.shape[0], t] = opcol
+                c_rdstart[t] = sc["read_start"]
+                c_refwin[t] = sc["ref_start_win"]
+                c_nmm[t] = sc["n_mm"]
+                c_ngo[t] = sc["n_go"]
+                c_ngc[t] = sc["n_gc"]
+                c_nrefn[t] = sc["n_refn"]
+                c_scchk[t] = sc["score_check"]
+            ops_cols = np.arange(nsel, dtype=np.int32)
+
+        # vec pairs must pass the score-check net on BOTH mates
+        if nsel:
+            t1 = np.array([selidx[int(ns.b1c[i])] for i in vec0], np.int64)
+            t2 = np.array([selidx[int(ns.b2c[i])] for i in vec0], np.int64)
+            chk = (c_scchk[t1] == pool.scores[ns.b1c[vec0]]) & \
+                  (c_scchk[t2] == pool.scores[ns.b2c[vec0]])
+            vec = vec0[chk]
+            t1, t2 = t1[chk], t2[chk]
+        else:
+            vec = vec0
+            t1 = t2 = np.zeros(0, np.int64)
+        vec_mask = np.zeros(B, bool)
+        vec_mask[vec] = True
+        nv = vec.size
+
+        # ---- vectorized record fields for the vec pairs (2 records each,
+        # mate 1 at even rows) ----
+        if nv:
+            ri1, ri2 = vec, Bp + vec
+            k1, k2 = ns.b1c[vec], ns.b2c[vec]
+            o1, o2 = ns.b1o[vec], ns.b2o[vec]
+            L1 = fpb.lens[ri1]
+            L2 = fpb.lens[ri2]
+            s1 = ns.b1s[vec].astype(np.int64)
+            s2 = ns.b2s[vec].astype(np.int64)
+            rid1 = pool.rid[k1]
+            rid2 = pool.rid[k2]
+            lo1, hi1 = ns.b1lo[vec], ns.b1hi[vec]
+            lo2, hi2 = ns.b2lo[vec], ns.b2hi[vec]
+            rdend1 = pool.rows_end[k1] + 1
+            rdend2 = pool.rows_end[k2] + 1
+            # TLEN from soft-clip-extended extents (aligner_result.h:1311)
+            if pol.sc_unmapped_tlen:
+                xl1, xh1, xl2, xh2 = lo1, hi1, lo2, hi2
+            else:
+                xl1 = lo1 - c_rdstart[t1]
+                xh1 = hi1 + (L1 - rdend1)
+                xl2 = lo2 - c_rdstart[t2]
+                xh2 = hi2 + (L2 - rdend2)
+            frag = np.maximum(xh1, xh2) - np.minimum(xl1, xl2) + 1
+            fw1 = o1 == 0
+            m1_up = np.where(xl1 == xl2, fw1, xl1 < xl2)
+            tlen1 = np.where(m1_up, frag, -frag)
+            cross = rid1 != rid2
+            tlen1 = np.where(cross, 0, tlen1)
+            # POS from the backtrace/gapless ref start (mirrors
+            # _emit_aligned); PNEXT from the device LO export (mirrors
+            # _emit_pair — track_origin keeps the two identical)
+            pos1 = (pool.win_start[k1] + c_refwin[t1]
+                    - self.data.ref_cum[rid1] + 1).astype(np.int64)
+            pos2 = (pool.win_start[k2] + c_refwin[t2]
+                    - self.data.ref_cum[rid2] + 1).astype(np.int64)
+            pn1 = (lo1 - self.data.ref_cum[rid1] + 1).astype(np.int64)
+            pn2 = (lo2 - self.data.ref_cum[rid2] + 1).astype(np.int64)
+            # paired MAPQ (scalar decision table; cheap per pair)
+            sec_sum = np.where(ns.p_nk[vec] > 1, ns.p_sss[vec], 0)
+            has_sec = ns.p_nk[vec] > 1
+            minsum = (fpb.minsc[ri1] + fpb.minsc[ri2]).astype(np.int64)
+            persum = (fpb.perfect[ri1] + fpb.perfect[ri2]).astype(np.int64) \
+                if pol.local else np.zeros(nv, np.int64)
+            mq = np.empty(nv, np.int32)
+            for t in range(nv):
+                mq[t] = self._mapq(
+                    int(s1[t] + s2[t]),
+                    int(sec_sum[t]) if has_sec[t] else None,
+                    int(persum[t]), int(minsum[t]), paired=True)
+            # per-mate XS (vectorized _xs_fast)
+            def _xs_vec(ri, k):
+                first_other = (ns.r_hasl[ri] != 0) & (ns.r_fc[ri] != k)
+                sec_other = (ns.r_hasl2[ri] != 0) & (ns.r_sc[ri] != k)
+                return np.where(first_other, ns.r_fs[ri],
+                                np.where(sec_other, ns.r_ss[ri], XS_OMIT))
+            xs1 = _xs_vec(ri1, k1)
+            xs2 = _xs_vec(ri2, k2)
+            FP = FLAG_PAIRED | FLAG_PROPER
+            flag1 = FP | FLAG_MATE1 | np.where(o1 != 0, FLAG_REVERSE, 0) \
+                | np.where(o2 != 0, FLAG_MATE_REVERSE, 0)
+            flag2 = FP | FLAG_MATE2 | np.where(o2 != 0, FLAG_REVERSE, 0) \
+                | np.where(o1 != 0, FLAG_MATE_REVERSE, 0)
+
+            def ilv(a1, a2, dt=np.int32):
+                o = np.empty(2 * nv, dt)
+                o[0::2] = a1
+                o[1::2] = a2
+                return o
+
+            nrec = 2 * nv
+            mode = np.ones(nrec, np.int8)
+            flag = ilv(flag1, flag2)
+            rname_i = ilv(rid1, rid2)
+            posr = ilv(pos1, pos2)
+            mapq = ilv(mq, mq)
+            rnext_i = ilv(np.where(cross, rid2, -2),
+                          np.where(cross, rid1, -2))
+            pnext = ilv(pn2, pn1)
+            tlen = ilv(tlen1, -tlen1)
+            tlen[0::2][cross] = 0
+            tlen[1::2][cross] = 0
+            opt_as = ilv(s1, s2)
+            opt_xs = ilv(xs1, xs2)
+            xn = ilv(c_nrefn[t1], c_nrefn[t2])
+            xm = ilv(c_nmm[t1], c_nmm[t2])
+            xo = ilv(c_ngo[t1], c_ngo[t2])
+            xg = ilv(c_ngc[t1], c_ngc[t2])
+            ys = ilv(s2, s1)
+            yt = np.ones(nrec, np.int8)                 # CP
+            tsel = ilv(t1, t2, np.int64)
+            codes_r = codes_sel[tsel]
+            quals_r = quals_sel[tsel]
+            rdlen = ilv(L1, L2)
+            rdstart = c_rdstart[tsel]
+            rdend = ilv(rdend1, rdend2)
+            bound = (rdend - rdstart) + xg + 1
+            if self._names_tab is None:
+                self._names_tab = RefNameTable(self.data.ref_names)
+            tails = sam_tails_pe_batch(
+                mode, flag, rname_i, posr, mapq, rnext_i, pnext, tlen,
+                opt_as, opt_xs, xn, xm, xo, xg, ys, yt,
+                codes_r, quals_r, rdlen,
+                ops_mat, ops_cols[tsel], rdstart, rdend, bound,
+                self._names_tab, suffix, xeq=pol.xeq)
+
+        # ---- stats for vec pairs + object path for the rest ----
+        st = AlignStats()
+        st.pairs += nv
+        st.reads += 2 * nv
+        multi = ns.p_nk[vec] > 1 if nv else np.zeros(0, bool)
+        st.conc_multi += int(multi.sum())
+        st.conc_one += int(nv - multi.sum())
+
+        rest = [i for i in range(B) if not vec_mask[i]]
+        groups: List[List[Tuple[int, bytes]]] = [None] * B
+        if nv:
+            for t, i in enumerate(vec.tolist()):
+                nm = fpb.pairs[i][0].name.encode()
+                nm2 = fpb.pairs[i][1].name.encode()
+                tg1 = getattr(fpb.pairs[i][0], "tags", None)
+                tg2 = getattr(fpb.pairs[i][1], "tags", None)
+                l1 = nm + tails[2 * t] + (tg1.encode() if tg1 else b"")
+                l2 = nm2 + tails[2 * t + 1] + (tg2.encode() if tg2 else b"")
+                groups[i] = [(int(flag[2 * t]), l1),
+                             (int(flag[2 * t + 1]), l2)]
+        if rest:
+            tb_of = self._fast_tb(ns, self._fast_need(ns, rest))
+            for i in rest:
+                out: List[SamAlignment] = []
+                self._emit_fast_pair(ns, i, st, out, tb_of)
+                groups[i] = [(r.flag, r.line().encode() + suffix)
+                             for r in out]
+        self._merge_stats(st)
+        self.metrics.add(t_host=_time.time() - _t)
+        return groups
 
     # ------------------------------------------------------------------
     def _mm1_upfront_ok(self, codes: np.ndarray, quals: np.ndarray,
@@ -3574,12 +3958,22 @@ class PairedAligner(BatchAligner):
         half-mapped pairs follow the reference (sam.cpp): the unmapped
         record carries the mapped mate's RNAME/POS, RNEXT "=", TLEN 0; the
         mapped record has RNEXT "=" and PNEXT = its own POS.
-        """
+
+        Record order inside the pair follows the reference's finishRead
+        appendance: in a half-mapped pair the ALIGNED mate's record comes
+        first (its unpaired alignment is reported before the unaligned
+        leftover record), mate 1 first otherwise (verified against the
+        binary on reads_1/2.fq: all 290 mate2-first pairs are exactly
+        the aligned-mate2 + unaligned-mate1 class)."""
         pol = self.pol
         B = len(cs.lens) // 2
         scores = cs.pool.scores
-        for mate, (rec, ri, lst, other_lst) in enumerate((
-                (rec1, i, l1, l2), (rec2, B + i, l2, l1))):
+        mates = [(rec1, i, l1, l2), (rec2, B + i, l2, l1)]
+        m1_al = bool(l1) and not pol.no_mixed
+        m2_al = bool(l2) and not pol.no_mixed
+        order = (1, 0) if (m2_al and not m1_al) else (0, 1)
+        for mate in order:
+            rec, ri, lst, other_lst = mates[mate]
             mate_flag = FLAG_MATE1 if mate == 0 else FLAG_MATE2
             other_aligned = bool(other_lst) and not pol.no_mixed
             fl = FLAG_PAIRED | mate_flag \

@@ -118,8 +118,12 @@ def test_golden_paired(lambda_index, lambda_reads):
         chunk = pairs[k:k + 128]
         outs = al.align_batch(chunk)
         for t, (r1, r2) in enumerate(chunk):
-            got[(r1.name, 1)] = _rec_dict(outs[2 * t])
-            got[(r2.name, 2)] = _rec_dict(outs[2 * t + 1])
+            # half-mapped pairs emit the ALIGNED mate first (finishRead
+            # order, matched in round 4) — key records by their FLAG
+            # mate bit, not position
+            for r in (outs[2 * t], outs[2 * t + 1]):
+                mate = 1 if r.flag & 0x40 else 2
+                got[((r1 if mate == 1 else r2).name, mate)] = _rec_dict(r)
     # round 3: the PE zero-seed-round `break` model closed the reference
     # give-up class — the full 10k-pair corpus is byte-identical, so this
     # asserts the aligned SET and 100% per-record parity like the SE test
@@ -137,8 +141,9 @@ def test_golden_paired_local(lambda_index, lambda_reads):
         chunk = pairs[k:k + 128]
         outs = al.align_batch(chunk)
         for t, (r1, r2) in enumerate(chunk):
-            got[(r1.name, 1)] = _rec_dict(outs[2 * t])
-            got[(r2.name, 2)] = _rec_dict(outs[2 * t + 1])
+            for r in (outs[2 * t], outs[2 * t + 1]):
+                mate = 1 if r.flag & 0x40 else 2
+                got[((r1 if mate == 1 else r2).name, mate)] = _rec_dict(r)
     n_exact = sum(
         1 for key, ours in got.items()
         if all(ours[f] == golden[key][f] for f in FIELDS_CHECKED))

@@ -127,3 +127,18 @@ def test_pe_classify_jnp_matches_np(rng):
                 jnp.asarray(hi2, jnp.int32), jnp.asarray(fw2),
                 0, 500, olap, cont, dove))
             assert (a == b).all(), (pol, olap, cont, dove)
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_collect_raw_matches_objects(lambda_index, local):
+    """Native-line PE emission (sam_tails_pe) == object records."""
+    pairs = _mk_pairs(lambda_index, np.random.default_rng(21), 256)
+    pa = PairedAligner(lambda_index, make_policy("sensitive", local=local))
+    objs = pa.collect(pa.submit(pairs))
+    pa2 = PairedAligner(lambda_index, make_policy("sensitive", local=local))
+    groups = pa2.collect_raw(pa2.submit(pairs))
+    lines_obj = [r.line().encode() for r in objs]
+    lines_raw = [ln for g in groups for _, ln in g]
+    assert len(lines_obj) == len(lines_raw)
+    for a, b in zip(lines_obj, lines_raw):
+        assert a == b, (a, b)
