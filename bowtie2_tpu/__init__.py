@@ -48,6 +48,63 @@ if _jax.config.jax_compilation_cache_dir is None:
             _os.path.expanduser("~/.cache/bowtie2_tpu/jax-" + _host_tag())))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def _patch_atomic_cache_writes() -> None:
+    """Make persistent-cache writes atomic (temp file + os.replace).
+
+    jax's LRUCache.put uses Path.write_bytes and never overwrites an
+    existing entry, so a process killed mid-write leaves a truncated
+    blob that SIGSEGVs the executable deserializer on every later run
+    (observed round 4: repeated suite crashes in
+    compilation_cache.get_executable_and_time until the dir was wiped).
+    """
+    try:
+        from jax._src import lru_cache as _lru
+    except ImportError:      # pragma: no cover - layout change
+        return
+    import pathlib
+
+    _orig_write_bytes = pathlib.Path.write_bytes
+
+    def _atomic_write_bytes(self, data):
+        if not self.name.endswith(_lru._CACHE_SUFFIX):
+            return _orig_write_bytes(self, data)
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=str(self.parent), suffix=".tmp")
+        try:
+            with _os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            _os.replace(tmp, str(self))
+        except OSError:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        return len(data)
+
+    # patch only the module's view of Path (can't set attrs on pathlib.Path
+    # instances selectively otherwise)
+    class _AtomicPath(type(pathlib.Path())):
+        def write_bytes(self, data):
+            return _atomic_write_bytes(self, data)
+
+    _orig_init = _lru.LRUCache.__init__
+
+    def _patched_init(self, path, *a, **kw):
+        _orig_init(self, path, *a, **kw)
+        try:
+            if isinstance(self.path, pathlib.Path):
+                self.path = _AtomicPath(self.path)
+        except (TypeError, OSError):     # pragma: no cover
+            pass
+
+    _lru.LRUCache.__init__ = _patched_init
+
+
+_patch_atomic_cache_writes()
+
 def _warm_device_link() -> None:
     """Round-trip one tiny buffer through the device at import time.
 
@@ -71,5 +128,38 @@ def _warm_device_link() -> None:
 
 
 _warm_device_link()
+
+
+def _gate_cpu_cache() -> None:
+    """Disable the persistent compile cache on XLA:CPU.
+
+    This jaxlib's CPU executables do not reliably round-trip
+    serialization: observed this round were BOTH a SIGABRT inside
+    `executable.serialize()` (compilation_cache.put_executable_and_time)
+    and a SIGSEGV inside `backend.deserialize_executable(...)` on a
+    freshly written cache entry — each reproducibly killing the test
+    suite mid-run. Round 3's host-fingerprinted cache paths treated the
+    symptom; the cause is the CPU serializer itself, so on CPU the
+    persistent cache is simply turned off (XLA:CPU compiles are cheap;
+    the TPU backend — where caching matters at ~20-40 s/compile — keeps
+    it). Opt back in with BT2X_FORCE_COMPILE_CACHE=1.
+    """
+    if _os.environ.get("BT2X_FORCE_COMPILE_CACHE"):
+        return
+    if _os.environ.get("BT2X_NUM_PROCESSES") or \
+            _os.environ.get("BT2X_COORDINATOR"):
+        # multi-host: backends must not initialize before
+        # jax.distributed; these are CPU test rigs, so just default the
+        # cache off via the config knob
+        _jax.config.update("jax_enable_compilation_cache", False)
+        return
+    try:
+        if _jax.default_backend() == "cpu":
+            _jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:   # no backend at all (doc builds)
+        pass
+
+
+_gate_cpu_cache()
 
 from bowtie2_tpu.index.fmindex import FMIndex  # noqa: F401

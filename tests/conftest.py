@@ -8,8 +8,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's parallel LLVM codegen (default split 32) is implicated in
+# nondeterministic mid-suite crashes (SIGSEGV in backend_compile_and_load
+# and in executable serialize/deserialize, always while compiling the
+# same pipeline-shape region of the suite; reproduced at a clean HEAD
+# with and without the persistent cache, round 4). Single-module codegen
+# sidesteps it; on this 1-core host it costs nothing.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The axon sitecustomize force-registers the TPU backend at interpreter
 # startup (before this file runs), so env vars alone can't undo it — the
@@ -18,26 +26,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The persistent cache stores XLA:CPU AOT executables whose machine
-# features are NOT part of the cache key — loading a blob compiled on a
-# different host SIGABRTs mid-suite (observed round 3). Scope the cache
-# dir by a host fingerprint so each machine gets its own cache.
-def _host_tag():
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-    return platform.node() or "unknown"
-
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      f"/root/repo/.jax_cache/{_host_tag()}")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# No persistent compile cache for the suite: this jaxlib's XLA:CPU
+# executables do not reliably round-trip serialization (SIGABRT in
+# executable.serialize() and SIGSEGV in deserialize_executable were both
+# observed killing the suite mid-run, round 4). bowtie2_tpu.__init__
+# disables the cache whenever the backend is CPU; the explicit config
+# update here also covers any jax use before the package import. The
+# TPU backend (bench.py) keeps its cache.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
