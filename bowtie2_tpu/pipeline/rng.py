@@ -82,6 +82,13 @@ class RefRng:
         self.last_off += 2
         return ret
 
+    def next_float(self) -> float:
+        """random_source.h:137 nextFloat: (float)nextU32()/(float)0xffffffff
+        in FLOAT32 arithmetic (both casts), then promoted to double by the
+        caller (RowSampler multiplies it into a double mass)."""
+        return float(np.float32(np.float32(self.next_u32())
+                                / np.float32(0xFFFFFFFF)))
+
 
 def rotl32(x: int, n: int) -> int:
     x &= M32
