@@ -566,6 +566,70 @@ def sw_full_numpy(read, quals, refwin, p: SWParams):
     return int(H[L, :].max())
 
 
+def sw_full_numpy_cells(read, quals, refwin, p: SWParams):
+    """sw_full_numpy's end-row cell vector (e2e): H[L, j] for j in
+    [0, R], the best score of a full-read alignment whose last consumed
+    ref char is refwin[j-1], plus the START column (origin) of the best
+    path ending at each cell. Used by the RNG-trajectory replay
+    (pipeline/seed_replay.py) to enumerate backtrace candidates the way
+    the reference's gatherCellsEe does (aligner_swsse_ee_u8.cpp) and to
+    approximate RedundantAlns with diagonal spans. Vectorized over j."""
+    read = np.asarray(read, np.int64)
+    quals = np.asarray(quals, np.int64)
+    refwin = np.asarray(refwin, np.int64)
+    L, R = len(read), len(refwin)
+    mm = p.mm_pen_min + (np.minimum(quals, 40)
+                         * (p.mm_pen_max - p.mm_pen_min)) // 40
+    NEG = -(1 << 29)
+    rgo = p.read_gap_open + p.read_gap_extend
+    fgo = p.ref_gap_open + p.ref_gap_extend
+    H = np.full(R + 1, 0, np.int64)          # row 0: free start
+    E = np.full(R + 1, NEG, np.int64)
+    HO = np.arange(R + 1, dtype=np.int64)    # origin col of H path
+    EO = np.arange(R + 1, dtype=np.int64)
+    refn = refwin == 4
+    refoob = refwin >= 5
+    for i in range(1, L + 1):
+        rc, pen = int(read[i - 1]), int(mm[i - 1])
+        barred = (i - 1) < p.gap_barrier or (L - i) < p.gap_barrier
+        # E (ref gap: read char consumed, no ref char)
+        Eo = np.where(H - fgo >= E - p.ref_gap_extend, HO, EO)
+        En = np.maximum(H - fgo, E - p.ref_gap_extend)
+        if barred:
+            En = np.full(R + 1, NEG, np.int64)
+        # diag
+        if rc >= 5:
+            sub = np.full(R, NEG // 2, np.int64)
+        elif rc >= 4:
+            sub = np.full(R, -p.n_pen, np.int64)
+        else:
+            sub = np.where(refoob, NEG // 2,
+                           np.where(refn, -p.n_pen,
+                                    np.where(refwin == rc,
+                                             p.match_bonus, -pen)))
+        Dg = np.concatenate([[NEG], H[:-1] + sub])
+        DgO = np.concatenate([[0], HO[:-1]])
+        Hn = np.maximum(Dg, En)
+        HOn = np.where(Dg >= En, DgO, Eo)
+        # F (read gap): sequential prefix scan within the row
+        Fv = NEG
+        FvO = 0
+        for j in range(1, R + 1):
+            open_ = Hn[j - 1] - rgo
+            ext = Fv - p.read_gap_extend
+            if open_ >= ext:
+                Fv, FvO = open_, HOn[j - 1]
+            else:
+                Fv = ext
+            if barred:
+                Fv = NEG
+            if Fv > Hn[j]:
+                Hn[j] = Fv
+                HOn[j] = FvO
+        H, HO, E, EO = Hn, HOn, En, Eo
+    return H, HO
+
+
 # ----------------------------------------------------------------------
 # Diagonal-band kernel for LONG reads (> the rectangle buckets).
 #
