@@ -1711,6 +1711,8 @@ class UnpairedAligner(BatchAligner):
         st = AlignStats()
         out: List[SamAlignment] = []
         n_rank = r_valid.sum(axis=0)
+        from bowtie2_tpu.pipeline.traj_replay import traj_overrides
+        tovr = traj_overrides(self, fb, n_rank, ovr)
 
         # ---- batched CIGAR/MD decode (native C; numpy fallback) ----
         n_rep = np.minimum(np.minimum(n_rank, khits), kk_bt)
@@ -1757,6 +1759,16 @@ class UnpairedAligner(BatchAligner):
                     if o == 0 else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L]),
                     template=_tp_o))
                 st.al_multi += 1
+                continue
+            if ri in tovr:
+                t_recs, t_nalns = tovr[ri]
+                out.extend(t_recs)
+                if t_nalns == 0:
+                    st.unal += 1
+                elif t_nalns > 1:
+                    st.al_multi += 1
+                else:
+                    st.al_one += 1
                 continue
             nr = int(n_rank[ri])
             if nr == 0:
@@ -1883,6 +1895,8 @@ class UnpairedAligner(BatchAligner):
 
         khits = 10**9 if pol.all_hits else pol.khits
         n_rank = r_valid.sum(axis=0)
+        from bowtie2_tpu.pipeline.traj_replay import traj_overrides
+        tovr = traj_overrides(self, fb, n_rank, ovr)
         n_rep = np.minimum(np.minimum(n_rank, khits), kk_bt)
         live_col = ~fb.filtered & (np.arange(Bp) < B)
         emit2 = (ch_ok.reshape(kk_bt, Bp).astype(bool)
@@ -1893,10 +1907,16 @@ class UnpairedAligner(BatchAligner):
             ovr_arr = np.zeros(Bp, bool)
             ovr_arr[list(ovr)] = True
             emit2 &= ~ovr_arr[None, :]   # replay reads emit synth groups
+        if tovr:
+            tovr_arr = np.zeros(Bp, bool)
+            tovr_arr[list(tovr)] = True
+            emit2 &= ~tovr_arr[None, :]  # trajectory-replay groups below
         n_emit = emit2.sum(axis=0)
         unal = (np.arange(Bp) < B) & (n_emit == 0)
         if ovr:
             unal &= ~ovr_arr
+        if tovr:
+            unal &= ~tovr_arr
 
         # record table: aligned records (ci order) then unaligned reads
         cis = np.nonzero(emit2.reshape(-1))[0].astype(np.int32)
@@ -2018,14 +2038,24 @@ class UnpairedAligner(BatchAligner):
                     else (fb.rc[_ri, :_L], fb.qu_r[_ri, :_L]),
                     template=_tp_o):
                 groups[ri_o].append((r.flag, r.line().encode() + suffix))
+        n_t_unal = n_t_multi = n_t_one = 0
+        for ri_t, (t_recs, t_nalns) in tovr.items():
+            for r in t_recs:
+                groups[ri_t].append((r.flag, r.line().encode() + suffix))
+            if t_nalns == 0:
+                n_t_unal += 1
+            elif t_nalns > 1:
+                n_t_multi += 1
+            else:
+                n_t_one += 1
 
         st = AlignStats()
         st.reads = B
         st.filtered = int(fb.filtered[:B].sum())
-        st.unal = int(unal.sum())
+        st.unal = int(unal.sum()) + n_t_unal
         multi = (n_emit > 0) & (n_rank > 1) & live_col
-        st.al_multi = int(multi.sum()) + len(ovr)
-        st.al_one = int(((n_emit > 0) & ~multi).sum())
+        st.al_multi = int(multi.sum()) + len(ovr) + n_t_multi
+        st.al_one = int(((n_emit > 0) & ~multi).sum()) + n_t_one
         self._merge_stats(st)
         self.metrics.add(t_host=_time.time() - _t)
         return groups
@@ -2168,6 +2198,9 @@ class UnpairedAligner(BatchAligner):
 
         st = AlignStats()
         out: List[SamAlignment] = []
+        # per-read class for the stderr summary (0=unal, 1=unique, 2=multi);
+        # group replacements below (exact/trajectory replay) update it
+        cls = np.zeros(B, np.int8)
         rd_start = np.zeros(len(records) + 1, np.int64)
         for ri, rec in enumerate(records):
             rd_start[ri] = len(out)
@@ -2175,12 +2208,10 @@ class UnpairedAligner(BatchAligner):
             L = int(cs.lens[ri])
             if cs.filtered[ri]:
                 st.filtered += 1
-                st.unal += 1
                 out.append(self._unaligned(rec, self.YF_STR[int(cs.yf[ri])]))
                 continue
             ks = chosen.get(ri)
             if not ks:
-                st.unal += 1
                 out.append(self._unaligned(rec))
                 continue
             scores = cs.pool.scores
@@ -2212,12 +2243,11 @@ class UnpairedAligner(BatchAligner):
                     out.append(rec_out)
                     n_emitted += 1
             if n_emitted == 0:
-                st.unal += 1
                 out.append(self._unaligned(rec))
             elif len(ks) > 1:
-                st.al_multi += 1
+                cls[ri] = 2
             else:
-                st.al_one += 1
+                cls[ri] = 1
         rd_start[len(records)] = len(out)
         # 1mm maxed-multimap replay from the emitted rank-0 records
         if not pol.local and not pol.all_hits and cs.sw_top is not None:
@@ -2255,6 +2285,7 @@ class UnpairedAligner(BatchAligner):
                 int(cs.minsc[ri]),
                 lambda o, _ri=ri: self._oriented(cs, _ri, o),
                 template=_tp_o)
+            cls[ri] = 2 if _cnt_o > 1 else 1
         # --seed-boost re-seeding rounds (bt2_search.cpp:3881): a mate
         # continues into round 1+ only when its average seed range is
         # >= seedBoostThresh elements; those ultra-repetitive reads are
@@ -2278,8 +2309,35 @@ class UnpairedAligner(BatchAligner):
                         grp.append(sub[t])
                         t += 1
                     repl[ri] = grp
+        # trajectory-RNG replay (pipeline/traj_replay.py): route imperfect
+        # multimaps / order-sensitive-XS reads through the draw-for-draw
+        # reference trajectory; the replay models the full round schedule
+        # so it supersedes the seed-boost rerun group when it succeeds
+        from bowtie2_tpu.pipeline import traj_replay as _traj
+        if _merge and nrounds == 1 and _traj.eligible(pol):
+            tris = [ri for ri in range(B)
+                    if not cs.filtered[ri] and ri not in ovr
+                    and len(ranked.get(ri, ())) >= 2]
+            if tris:
+                preds = _traj.run_replays(self, records, tris)
+                if preds:
+                    import types as _types
+                    shim = _types.SimpleNamespace(
+                        records=records, B=B, lens=cs.lens, fw=cs.fw,
+                        rc=cs.rc, qu=cs.qu, qu_r=cs.qu_r, minsc=cs.minsc,
+                        Lmax=cs.Lmax, filtered=cs.filtered)
+                    tout = _traj.emit_overrides(self, shim, preds)
+                    if tout:
+                        self.metrics.add(traj_overridden=len(tout))
+                    for ri, t_recs in tout.items():
+                        repl[ri] = t_recs
+                        n_t = preds[ri].nalns
+                        cls[ri] = 0 if n_t == 0 else (2 if n_t > 1 else 1)
         for ri in sorted(repl, reverse=True):
             out[int(rd_start[ri]):int(rd_start[ri + 1])] = repl[ri]
+        st.unal = int((cls == 0).sum())
+        st.al_one = int((cls == 1).sum())
+        st.al_multi = int((cls == 2).sum())
         if _merge:
             self._merge_stats(st)
         return out
