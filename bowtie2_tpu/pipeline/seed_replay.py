@@ -555,24 +555,53 @@ class ReadReplay:
     # ---------------- the extend loop ----------------
     def extend_loop(self, entries: List[_Entry]) -> str:
         """extendSeeds' `while(true) for(i < maxi) while(elements)`
-        structure: each outer pass visits each entry; an entry drains
-        fully when small/eeMode, else one element per pass."""
+        structure (aligner_sw_driver.cpp:991-1496).
+
+        EE mode runs EXACTLY ONE for-pass over the entries: each entry
+        drains fully; score-tightening past the entry's score `break`s
+        out of its drain (:1104) and the NEXT entry's top-of-loop check
+        (:1055) exits the phase with EXTEND_PERFECT_SCORE. When the
+        broken entry was the last one, the pass ends and the call
+        returns EXTEND_EXHAUSTED_CANDIDATES — the read CONTINUES into
+        the seed phase (bt2_search.cpp "Not done yet").
+
+        Non-EE mode repeats for-passes (one element per pass for large
+        ranges, full drain for small) until every entry is done."""
         inp, pol = self.inp, self.pol
         ee_mode = any(e.ee_hit is not None for e in entries)
         if not entries:
+            return "EXHAUSTED"
+        if ee_mode:
+            for e in entries:
+                if e.ee_hit.score < self.minsc:
+                    return "PERFECT"
+                while not e.done():
+                    if self.minsc == inp.perfect \
+                            and e.ee_hit.score < inp.perfect:
+                        return "PERFECT"
+                    if e.ee_hit.score < self.minsc:
+                        break          # tighten passed this score (:1104)
+                    if self.n_ex_dps >= pol.max_dp:
+                        return "HARD"
+                    if self.n_ex_ugs >= pol.max_ug:
+                        return "HARD"
+                    if self.n_ex_iters >= pol.max_iters:
+                        return "HARD"
+                    self.n_ex_iters += 1
+                    elt = e.next_elt(self.rng)
+                    ret = self._visit(e, elt, True)
+                    if ret is not None:
+                        return ret
             return "EXHAUSTED"
         while True:
             progressed = False
             for e in entries:
                 if e.done():
                     continue
-                if ee_mode and e.ee_hit.score < self.minsc:
-                    return "PERFECT"
                 first = True
-                while not e.done() and (first or e.is_small or ee_mode):
+                while not e.done() and (first or e.is_small):
                     if self.minsc == inp.perfect:
-                        if not ee_mode or e.ee_hit.score < inp.perfect:
-                            return "PERFECT"
+                        return "PERFECT"
                     if self.n_ex_dps >= pol.max_dp:
                         return "HARD"
                     if self.n_ex_ugs >= pol.max_ug:
@@ -583,7 +612,7 @@ class ReadReplay:
                     first = False
                     progressed = True
                     elt = e.next_elt(self.rng)
-                    ret = self._visit(e, elt, ee_mode)
+                    ret = self._visit(e, elt, False)
                     if ret is not None:
                         return ret
             if not progressed:
