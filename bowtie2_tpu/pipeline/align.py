@@ -1712,7 +1712,11 @@ class UnpairedAligner(BatchAligner):
         out: List[SamAlignment] = []
         n_rank = r_valid.sum(axis=0)
         from bowtie2_tpu.pipeline.traj_replay import traj_overrides
-        tovr = traj_overrides(self, fb, n_rank, ovr)
+        from bowtie2_tpu.ops.fused import CHOSEN_FIELDS as _CF_T
+        _base_t = 2 * kk * Bp + _CF_T * Bc + 1
+        _ee_t = meta[_base_t:_base_t + 8 * Bp].reshape(8, Bp)
+        tovr = traj_overrides(self, fb, n_rank, ovr,
+                              rep_ctx=_ee_t[6] > _ee_t[7])
 
         # ---- batched CIGAR/MD decode (native C; numpy fallback) ----
         n_rep = np.minimum(np.minimum(n_rank, khits), kk_bt)
@@ -1896,7 +1900,11 @@ class UnpairedAligner(BatchAligner):
         khits = 10**9 if pol.all_hits else pol.khits
         n_rank = r_valid.sum(axis=0)
         from bowtie2_tpu.pipeline.traj_replay import traj_overrides
-        tovr = traj_overrides(self, fb, n_rank, ovr)
+        from bowtie2_tpu.ops.fused import CHOSEN_FIELDS as _CF_T
+        _base_t = 2 * kk * Bp + _CF_T * Bc + 1
+        _ee_t = meta[_base_t:_base_t + 8 * Bp].reshape(8, Bp)
+        tovr = traj_overrides(self, fb, n_rank, ovr,
+                              rep_ctx=_ee_t[6] > _ee_t[7])
         n_rep = np.minimum(np.minimum(n_rank, khits), kk_bt)
         live_col = ~fb.filtered & (np.arange(Bp) < B)
         emit2 = (ch_ok.reshape(kk_bt, Bp).astype(bool)
@@ -2315,9 +2323,17 @@ class UnpairedAligner(BatchAligner):
         # so it supersedes the seed-boost rerun group when it succeeds
         from bowtie2_tpu.pipeline import traj_replay as _traj
         if _merge and nrounds == 1 and _traj.eligible(pol):
+            # cohort: reads whose reported fields depend on the search
+            # trajectory — canonical multimaps, plus reads in repetitive
+            # context (some seed range has >= 2 elements: the reference's
+            # sampled visits can surface a second-best ours didn't rank)
+            rep_ctx = (cs.seed_nz is not None
+                       and (cs.seed_elts > cs.seed_nz))
             tris = [ri for ri in range(B)
                     if not cs.filtered[ri] and ri not in ovr
-                    and len(ranked.get(ri, ())) >= 2]
+                    and cls[ri] != 0
+                    and (len(ranked.get(ri, ())) >= 2
+                         or (rep_ctx is not False and bool(rep_ctx[ri])))]
             if tris:
                 preds = _traj.run_replays(self, records, tris)
                 if preds:

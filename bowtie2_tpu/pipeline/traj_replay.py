@@ -266,19 +266,25 @@ def _emit_gapped(aligner, fb, gapped) -> Dict[int, List[SamAlignment]]:
     return out
 
 
-def traj_overrides(aligner, fb, n_rank, ovr
+def traj_overrides(aligner, fb, n_rank, ovr, rep_ctx=None
                    ) -> Dict[int, List[SamAlignment]]:
     """Main hook: called from the fused SE collect paths.
 
     fb: FusedBatch; n_rank: (Bp,) valid-rank counts; ovr: the
-    exact/1mm replay overrides already claimed. Returns
+    exact/1mm replay overrides already claimed; rep_ctx: optional (Bp,)
+    bool — read sits in repetitive seed context (some seed range with
+    >= 2 elements), so the reference's sampled visits can surface a
+    second-best the canonical ranking didn't. Returns
     {ri: [SamAlignment, ...]} record groups to emit verbatim."""
     pol = aligner.pol
     if not eligible(pol):
         return {}
     B = fb.B
     ris = [int(ri) for ri in range(B)
-           if n_rank[ri] >= 2 and not fb.filtered[ri] and ri not in ovr]
+           if (n_rank[ri] >= 2
+               or (rep_ctx is not None and n_rank[ri] >= 1
+                   and bool(rep_ctx[ri])))
+           and not fb.filtered[ri] and ri not in ovr]
     if not ris:
         return {}
     preds = run_replays(aligner, fb.records, ris)
