@@ -173,16 +173,18 @@ def main():
         return n
 
     run(UnpairedAligner(data, make_policy("sensitive")))  # warmup/compile
-    best = 0.0
-    for _ in range(1 if backend_note else 3):   # noisy tunnel: best of 3
+    runs = []
+    for _ in range(1 if backend_note else 3):   # noisy tunnel: median of 3
         aligner2 = UnpairedAligner(data, make_policy("sensitive"))
         t0 = time.time()
         n = run(aligner2)
         dt = time.time() - t0
-        best = max(best, n / dt)
+        runs.append(n / dt)
         if not left(10):
             break
-    rps = best
+    runs.sort()
+    rps = runs[len(runs) // 2]                  # median
+    spread = 100.0 * (runs[-1] - runs[0]) / rps if len(runs) > 1 else 0.0
 
     # PRIMARY LINE — printed before any extra work, flushed immediately.
     primary = {
@@ -190,6 +192,8 @@ def main():
         "value": round(rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(rps / REF_READS_PER_SEC, 4),
+        "runs": [round(r, 1) for r in runs],
+        "spread_pct": round(spread, 1),
     }
     if backend_note:
         primary["backend"] = backend_note

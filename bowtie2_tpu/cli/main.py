@@ -117,6 +117,10 @@ def _build_align_parser():
     ap.add_argument("--end-to-end", dest="local", action="store_false",
                     default=None)
     ap.add_argument("--local", dest="local", action="store_true")
+    ap.add_argument("--bwa-sw-like", dest="bwa_sw_like", action="store_true",
+                    help="local with BWA-SW scoring: MA=1, MMP=C3, "
+                         "RDG/RFG=5,2, min score a*max{30, 5.5*ln(len)} "
+                         "(bt2_search.cpp:1114-1125, :2960-2971)")
     # scoring
     ap.add_argument("--ma", type=int, default=None)
     ap.add_argument("--mp", type=str, default=None)       # MX,MN
@@ -227,6 +231,13 @@ def cmd_align(argv):
         args.preset_local is not None
     preset = args.preset_local or args.preset or "sensitive"
     overrides = {}
+    if args.bwa_sw_like:
+        # --bwa-sw-like: localAlign + polstr MA=1;MMP=C3;RDG=5,2;RFG=5,2
+        # with the BWA-SW min-score rule (explicit flags still override)
+        local = True
+        overrides.update(bwa_sw_like=True, match_bonus=1, mm_pen_max=3,
+                         mm_pen_min=3, read_gap_open=5, read_gap_extend=2,
+                         ref_gap_open=5, ref_gap_extend=2)
     if args.seed_len is not None:
         overrides["seed_len"] = args.seed_len
     if args.seed_ival is not None:

@@ -45,15 +45,15 @@ class ShardedFMHalf(NamedTuple):
     SA-sample rank and switch the kernels' gathers to owner-computes."""
     n: jnp.ndarray
     z_off: jnp.ndarray
-    occ_cp: jnp.ndarray        # [blocks/shard, 4]
-    bwt_blocks: jnp.ndarray    # [blocks/shard, 8]
+    fm_blocks: jnp.ndarray     # uint32[blocks/shard, 12] ([occ4|bwt8] rows)
     fchr: jnp.ndarray          # [5] replicated
     ftab: jnp.ndarray          # replicated (~8 MB)
-    mark_blocks: jnp.ndarray   # [blocks/shard, 4]
-    mark_cp: jnp.ndarray       # [blocks/shard]
+    mark_rows: jnp.ndarray     # uint32[blocks/shard, 5]
     offs: jnp.ndarray          # [marked/shard]
     blk_lo: jnp.ndarray        # (1,)
     off_lo: jnp.ndarray        # (1,)
+    occ_cp64: Optional[jnp.ndarray] = None  # int64[blocks/shard, 4], only
+                               # past 2^32 rows (matches FMHalf.occ_cp64)
 
     @property
     def row_dtype(self):
@@ -88,7 +88,7 @@ def shard_index(data: IndexData, mesh: Mesh) -> ShardedIndex:
     ns = mesh.shape[SHARD_AXIS]
     rep = FMIndex.from_host(data)          # dtype policy (uint32 large mode)
     h = rep.fw
-    nblocks = int(h.bwt_blocks.shape[0])
+    nblocks = int(h.fm_blocks.shape[0])
     nb_pad = _ceil_to(nblocks, ns)
     noffs = int(h.offs.shape[0])
     no_pad = _ceil_to(noffs, ns)
@@ -108,15 +108,15 @@ def shard_index(data: IndexData, mesh: Mesh) -> ShardedIndex:
     fw = ShardedFMHalf(
         n=put(np.asarray(h.n), P()),
         z_off=put(np.asarray(h.z_off), P()),
-        occ_cp=put(_pad_to(np.asarray(h.occ_cp), nb_pad), sh),
-        bwt_blocks=put(_pad_to(np.asarray(h.bwt_blocks), nb_pad), sh),
+        fm_blocks=put(_pad_to(np.asarray(h.fm_blocks), nb_pad), sh),
         fchr=put(np.asarray(h.fchr), P()),
         ftab=put(np.asarray(h.ftab), P()),
-        mark_blocks=put(_pad_to(np.asarray(h.mark_blocks), nb_pad), sh),
-        mark_cp=put(_pad_to(np.asarray(h.mark_cp), nb_pad), sh),
+        mark_rows=put(_pad_to(np.asarray(h.mark_rows), nb_pad), sh),
         offs=put(_pad_to(np.asarray(h.offs), no_pad), sh),
         blk_lo=put(lo_blk, sh),
         off_lo=put(lo_off, sh),
+        occ_cp64=None if h.occ_cp64 is None else
+        put(_pad_to(np.asarray(h.occ_cp64), nb_pad), sh),
     )
     return ShardedIndex(
         fw=fw,
@@ -131,18 +131,21 @@ def shard_index(data: IndexData, mesh: Mesh) -> ShardedIndex:
     )
 
 
-def sharded_in_specs():
-    """shard_map in_specs pytree for a ShardedIndex."""
+def sharded_in_specs(large: bool = False):
+    """shard_map in_specs pytree for a ShardedIndex. `large` must match
+    whether the index carries the >2^32-row occ_cp64 table (None is an
+    empty pytree leaf, so the spec structure must agree)."""
     sh, r = P(SHARD_AXIS), P()
-    fw = ShardedFMHalf(n=r, z_off=r, occ_cp=sh, bwt_blocks=sh, fchr=r,
-                       ftab=r, mark_blocks=sh, mark_cp=sh, offs=sh,
-                       blk_lo=sh, off_lo=sh)
+    fw = ShardedFMHalf(n=r, z_off=r, fm_blocks=sh, fchr=r,
+                       ftab=r, mark_rows=sh, offs=sh,
+                       blk_lo=sh, off_lo=sh,
+                       occ_cp64=sh if large else None)
     return ShardedIndex(fw=fw, ref_words=ShardedWords(sh, sh),
                         refn_words=ShardedWords(sh, sh),
                         ref_cum=r, n_ref_total=r)
 
 
-def make_fused_se_sharded(mesh: Mesh, **static_kwargs):
+def make_fused_se_sharded(mesh: Mesh, large: bool = False, **static_kwargs):
     """jit(shard_map(fused_se)) over `mesh` for one static-shape combo.
 
     Batch arrays and seg tables ride in replicated along SHARD_AXIS; the
@@ -163,12 +166,12 @@ def make_fused_se_sharded(mesh: Mesh, **static_kwargs):
 
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(sharded_in_specs(), r, r, r, r, r, r, r, r, r),
+        in_specs=(sharded_in_specs(large), r, r, r, r, r, r, r, r, r),
         out_specs=r, check_vma=False)
     return jax.jit(f)
 
 
-def make_fused_pe_sharded(mesh: Mesh, **static_kwargs):
+def make_fused_pe_sharded(mesh: Mesh, large: bool = False, **static_kwargs):
     """jit(shard_map(fused_pe)): the PE search half of the pipeline over a
     sharded index. All five FusedPEResult leaves (metadata blob + the
     direction/read/window device handles kept for the emission backtrace)
@@ -191,6 +194,6 @@ def make_fused_pe_sharded(mesh: Mesh, **static_kwargs):
 
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(sharded_in_specs(), r, r, r, r, r, r, r, r, r, r, r),
+        in_specs=(sharded_in_specs(large), r, r, r, r, r, r, r, r, r, r, r),
         out_specs=r, check_vma=False)
     return jax.jit(f)

@@ -87,6 +87,20 @@ def _take_offs(half, rank: jnp.ndarray) -> jnp.ndarray:
     return _take_sharded(half.offs, rank, lo)
 
 
+def _occ_rows(half, block: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE fused-row gather → (bwt words (B, 8) uint32, occ checkpoints
+    (B, 4) row dtype). The [occ4|bwt8] row fusion exists for exactly this
+    call: before it, every LF step paid two independent gathers."""
+    rows = _rows(half, half.fm_blocks, block)                 # (B, 12)
+    words = rows[:, :8]
+    if half.occ_cp64 is not None:                             # >2^32 rows
+        cps = _rows(half, half.occ_cp64, block)
+    else:
+        cps = rows[:, 8:12].astype(half.row_dtype)
+    return words, cps
+
+
 def _crumbs(block_rows: jnp.ndarray) -> jnp.ndarray:
     """(B, 8) uint32-pattern words → (B, 128) int32 2-bit crumbs."""
     B = block_rows.shape[0]
@@ -109,13 +123,12 @@ def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     c: (B,) int32. Block count fits int32 for any realistic genome, so the
     gathers stay int32-indexed even in the int64 (large-index) mode."""
     block = (i // OCC_BLOCK).astype(jnp.int32)
-    words = _rows(half, half.bwt_blocks, block)               # (B, 8)
+    words, cps = _occ_rows(half, block)
     crumbs = _crumbs(words)
     pos = (i - block.astype(i.dtype) * OCC_BLOCK).astype(jnp.int32)
     inb = jnp.sum(((crumbs == c[:, None]) &
                    (_LANE[None, :] < pos[:, None])
                    ).astype(jnp.int32), axis=1, dtype=jnp.int32)
-    cps = _rows(half, half.occ_cp, block)                     # (B, 4)
     cp = jnp.sum(jnp.where(c[:, None] == _CHARS4[None, :], cps,
                            jnp.zeros((), half.row_dtype)), axis=1,
                  dtype=half.row_dtype)
@@ -129,7 +142,7 @@ def occ_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     """(B, 4) occurrence counts of every char in bwt[0:i). i: (B,)."""
     block = (i // OCC_BLOCK).astype(jnp.int32)
-    words = _rows(half, half.bwt_blocks, block)
+    words, cps = _occ_rows(half, block)
     crumbs = _crumbs(words)
     pos = (i - block.astype(i.dtype) * OCC_BLOCK).astype(jnp.int32)
     mask = _LANE[None, :] < pos[:, None]
@@ -137,8 +150,7 @@ def occ4_batch(half: FMHalf, i: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.sum((onehot & mask[:, :, None]).astype(jnp.int32), axis=1,
                   dtype=jnp.int32)
     corr = jnp.where((_CHARS4[None, :] == 0) & (i > half.z_off)[:, None], 1, 0)
-    return _rows(half, half.occ_cp, block) \
-        + (cnt - corr).astype(half.row_dtype)
+    return cps + (cnt - corr).astype(half.row_dtype)
 
 
 def lf_batch(half: FMHalf, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -382,11 +394,14 @@ def seed_search_exact(half: FMHalf, seeds: jnp.ndarray, valid: jnp.ndarray,
 _BIT_SHIFTS = jnp.arange(32, dtype=jnp.uint32)
 
 
-def _mark_bits(half: FMHalf, block: jnp.ndarray) -> jnp.ndarray:
-    """(B,) block ids → (B, 128) int32 0/1 mark bits."""
-    words = _rows(half, half.mark_blocks, block)              # (B, 4)
-    bits = (words[:, :, None] >> _BIT_SHIFTS[None, None, :]) & jnp.uint32(1)
-    return bits.reshape(-1, OCC_BLOCK).astype(jnp.int32)
+def _mark_rows(half: FMHalf, block: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,) block ids → ((B, 128) int32 0/1 mark bits, (B,) int32 rank
+    checkpoint) from ONE [bits4|rankcp] fused-row gather."""
+    rows = _rows(half, half.mark_rows, block)                 # (B, 5)
+    bits = (rows[:, :4, None] >> _BIT_SHIFTS[None, None, :]) & jnp.uint32(1)
+    return (bits.reshape(-1, OCC_BLOCK).astype(jnp.int32),
+            rows[:, 4].astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("period",))
@@ -400,13 +415,13 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
         row, steps, done = carry
         block = (row // OCC_BLOCK).astype(jnp.int32)
         pos = (row - block.astype(rdt) * OCC_BLOCK).astype(jnp.int32)
-        words = _rows(half, half.bwt_blocks, block)         # (B, 8)
-        cps = _rows(half, half.occ_cp, block)               # (B, 4)
+        words, cps = _occ_rows(half, block)
         crumbs = _crumbs(words)                             # (B, 128)
         at = (_LANE[None, :] == pos[:, None])
         c = jnp.sum(jnp.where(at, crumbs, 0), axis=1,
                     dtype=jnp.int32)                        # bwt char at row
-        marked = jnp.sum(jnp.where(at, _mark_bits(half, block), 0), axis=1,
+        mbits, _mcp = _mark_rows(half, block)
+        marked = jnp.sum(jnp.where(at, mbits, 0), axis=1,
                          dtype=jnp.int32) == 1
         done_now = done | marked
         # occ(row, c) using the already-gathered block
@@ -428,8 +443,8 @@ def sa_resolve(half: FMHalf, rows: jnp.ndarray, period: int = 32) -> jnp.ndarray
     # rank of the marked row → offs[]
     block = (row // OCC_BLOCK).astype(jnp.int32)
     pos = (row - block.astype(rdt) * OCC_BLOCK).astype(jnp.int32)
-    bits = _mark_bits(half, block)
+    bits, mcp = _mark_rows(half, block)
     inb = jnp.sum(bits * (_LANE[None, :] < pos[:, None]), axis=1,
                   dtype=jnp.int32)
-    rank = _rows(half, half.mark_cp, block) + inb
+    rank = mcp + inb
     return _take_offs(half, rank) + steps.astype(rdt)

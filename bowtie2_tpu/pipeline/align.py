@@ -1647,7 +1647,8 @@ class UnpairedAligner(BatchAligner):
             if key not in self._shard_fns:
                 from bowtie2_tpu.dist.sharded import make_fused_se_sharded
                 self._shard_fns[key] = make_fused_se_sharded(
-                    self.shard_mesh, **statics)
+                    self.shard_mesh,
+                    large=self.sidx.fw.occ_cp64 is not None, **statics)
             res = self._shard_fns[key](
                 self.sidx, self.seg, jboth, jquals, self._put(lens),
                 self._put(offs_all), self._put(valid_all),
@@ -2470,7 +2471,8 @@ class PairedAligner(BatchAligner):
             if key not in self._shard_fns:
                 from bowtie2_tpu.dist.sharded import make_fused_pe_sharded
                 self._shard_fns[key] = make_fused_pe_sharded(
-                    self.shard_mesh, **statics)
+                    self.shard_mesh,
+                    large=self.sidx.fw.occ_cp64 is not None, **statics)
             res = self._shard_fns[key](self.sidx, self.seg, *batch_args)
         else:
             res = fused_pe(self.idx.fw, self.idx.ref_words,

@@ -131,6 +131,9 @@ class Policy:
     # arbitrary per-read seeds instead (bt2_search.cpp:3270 rndArb)
     rng_seed: int = 0
     non_deterministic: bool = False
+    # --bwa-sw-like: min score = a*max{T=30, c=5.5 * ln(len)} in float,
+    # truncated (bt2_search.cpp:2960-2971), instead of score_min
+    bwa_sw_like: bool = False
 
     def sw_params(self) -> SWParams:
         return SWParams(
@@ -148,6 +151,14 @@ class Policy:
 
     # ---- derived, per read length ----
     def min_score(self, rdlen: int) -> int:
+        if self.bwa_sw_like:
+            # reference: max<float>(a*T, a*c*log(l)) — a*c is a float
+            # product, log(l) a double, the product demoted to float by
+            # the max<float> template (bt2_search.cpp:2964-2966)
+            a = np.float32(self.match_bonus)
+            ac = float(a * np.float32(5.5))
+            return int(max(np.float32(float(a) * 30.0),
+                           np.float32(ac * math.log(rdlen))))
         return self.score_min.f(rdlen)
 
     def perfect_score(self, rdlen: int) -> int:

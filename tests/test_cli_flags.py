@@ -118,3 +118,38 @@ def test_fullref(tmp_path):
     want = _fields(_ref_run(tmp, fa, fq, []))
     got = _fields(_our_run(tmp, fa, fq, []))
     assert got == want
+
+
+# -F FASTA-continuous k-mer sampling parity (simple_tests.pl
+# "FASTA-continuous 1-6", scripts/test/simple_tests.pl:72-140): read names
+# are <seq>_<offset>, -u/-s count SAMPLED k-mers, ival wraps across
+# records. The reference consumes -F with -U pointing at the FASTA.
+FCONT_CASES = [
+    ("F 10,9", ">seq1\nAGCATCGATCAGTATCTGA\n", ["-F", "10,9"]),
+    ("F 10,9 two seqs",
+     ">seq1\nAGCATCGATCAGTATCTG\n>seq2\nAGCATCGATCAGTATCTGA\n",
+     ["-F", "10,9"]),
+    ("F 10,9 -u 1", ">seq1\nAGCATCGATCAGTATCTGA\n", ["-F", "10,9", "-u", "1"]),
+    ("F 10,9 -s 1", ">seq1\nAGCATCGATCAGTATCTGA\n", ["-F", "10,9", "-s", "1"]),
+    ("F 10,9 -u 1 -s 1",
+     ">seq1\nAGCATCGATCAGTATCTG\n>seq2\nAGCATCGATCAGTATCTGA\n",
+     ["-F", "10,9", "-u", "1", "-s", "1"]),
+    ("F 10,1 tiling", ">seq1\nAGCATCGATCAG\n", ["-F", "10,1"]),
+    ("F k:i syntax", ">seq1\nAGCATCGATCAGTATCTGA\n", ["-F", "k:10,i:9"]),
+    ("F on ref-scale corpus", None, ["-F", "25,13"]),
+]
+
+
+@pytest.mark.parametrize("name,reads_fa,flags", FCONT_CASES,
+                         ids=[c[0] for c in FCONT_CASES])
+def test_fasta_continuous_parity(name, reads_fa, flags, tmp_path):
+    tmp = str(tmp_path)
+    fa, _ = _write_corpus(tmp)
+    if reads_fa is None:                      # sample k-mers off REF160
+        reads_fa = f">big\n{REF160}\n"
+    rfa = os.path.join(tmp, "cont.fa")
+    with open(rfa, "w") as f:
+        f.write(reads_fa)
+    want = _fields(_ref_run(tmp, fa, rfa, flags))
+    got = _fields(_our_run(tmp, fa, rfa, flags))
+    assert got == want

@@ -36,7 +36,7 @@ def test_sharded_index_matches_replicated(lambda_fasta, lambda_reads,
     mesh = Mesh(np.array(jax.devices()[:nshards]), ("shard",))
     al = UnpairedAligner(data, pol, shard_mesh=mesh)
     # per-shard table sizes really shrink (the point of the mode)
-    assert al.sidx.fw.bwt_blocks.sharding.num_devices == nshards
+    assert al.sidx.fw.fm_blocks.sharding.num_devices == nshards
     got = [r.line() for r in al.align_batch(records)]
     assert got == want
 

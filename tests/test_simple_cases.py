@@ -432,6 +432,115 @@ CASES += [
 ]
 
 
+# Round-5 expansion: "Scoring params", "Q XS:i" (quality scaling),
+# "XS:i" (multiseed/second-best), "BWA-SW-like" sections
+# (simple_tests.pl:1590-2100). Differential — expectations come from the
+# live oracle binary, so only the inputs/args are transliterated.
+_SP_REF1 = ("ACTATTGCGCGCATGCACATATCAATTAAGCCGTCTCTCTAAAGAGACCCCAATCTCGCG"
+            "CGCTAGACGTCAGTAGTTTAATTTTATAAACACCTCGCTGCGGGG")
+_SP_REF2 = ("ACTATTGCGCGCATGCACATATCAATTAAGCCGTCTCTCTAAAGAGACCCCAATCTCGCG"
+            "CGCTAGACGTCAGTAGTTT" "TTTATAAACACCTCGCTGCGGGG")
+_SP_READ1 = ("GCGCATGCACATATCAATTAAGCCGTCTCTCTAAAGAGACCCCAATCTCGCGCGCTAGA"
+             "CGTCAGTAGTTTAATTTTATAAACACCTC")
+_SP_QUAL1 = ("GOAIYEFGFIWDSFIUYWEHRIWQWLFNSLDKkjdfglduhiuevhsiuqkAUHFIUEH"
+             "GIUDJFHSKseuweyriwfskdgbiuuhh")
+_SP_READ2 = ("NCGCATGCACATtTCAATTAAGCCGTCTCTCTAAAGA"
+             "CCAATCTCGCGCGCTAGACGTCAGTAGTTTAAATTTATAAACACCTC")
+_SP_QUAL2 = ("GOAIYEFGFIWDSFIUYWEHRIWQWLFNSLDKkjdfg"
+             "iuevhsiuqkAUHFIUEHGIUDJFHSKseuweyriwfskdgbiuuhh")
+_SPK = dict(ignore_quals=True, seed_mms=1, seed_len=20, mhits=1,
+            score_min=SimpleFunc.parse("C,-40,0"))
+_QXS = dict(seed_len=7, ival=SimpleFunc.parse("C,1,0"), mhits=1,
+            score_min=SimpleFunc.parse("C,-6,0"))
+_QMP = dict(seed_len=6, mhits=1, score_min=SimpleFunc.parse("C,-6,0"))
+CASES += [
+    dict(name="scoring params 1", ref=[_SP_REF1],
+         reads=[(_SP_READ1, _SP_QUAL1)], mhits=1),
+    dict(name="scoring params 2 gaps", ref=[_SP_REF2],
+         reads=[(_SP_READ2, _SP_QUAL2)], **_SPK),
+    dict(name="scoring params 3 rfg", ref=[_SP_REF2],
+         reads=[(_SP_READ2, _SP_QUAL2)], rfg=(1, 2), **_SPK),
+    dict(name="scoring params 4 rdg", ref=[_SP_REF2],
+         reads=[(_SP_READ2, _SP_QUAL2)], rdg=(1, 2), **_SPK),
+    dict(name="scoring params 5 mp8", ref=[_SP_REF2],
+         reads=[(_SP_READ2, _SP_QUAL2)], mp=(8, 8), **_SPK),
+    dict(name="scoring params 6 np4", ref=[_SP_REF2],
+         reads=[(_SP_READ2, _SP_QUAL2)], np=4,
+         **dict(_SPK, score_min=SimpleFunc.parse("C,-41,0"))),
+    # Q XS:i — mismatch penalty scales with the mismatched base's quality
+    dict(name="q xs 1a", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIIIA")], **_QXS),
+    dict(name="q xs 1a bang mp33", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIII!")], mp=(3, 3), **_QMP),
+    dict(name="q xs 1a bang mp63", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIII!")], mp=(6, 3), **_QMP),
+    dict(name="q xs 1a I mp33", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIIII")], mp=(3, 3), **_QMP),
+    dict(name="q xs 1a I mp63", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIIII")], mp=(6, 3), **_QMP),
+    dict(name="q xs 1a ignore-quals", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIIIA")], ignore_quals=True, **_QXS),
+    dict(name="q xs 1b", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIII5")], **_QXS),
+    dict(name="q xs 1b ignore-quals", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIII5")], ignore_quals=True, **_QXS),
+    dict(name="q xs 1c", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIII4")], **_QXS),
+    dict(name="q xs 1c ignore-quals", ref=["TTGTTCGATTGTTCGA"],
+         reads=[("TTGTTCGT", "IIIIIII4")], ignore_quals=True, **_QXS),
+    # XS:i — second-best accounting under tiny seeds / RNG seeds
+    dict(name="xs 1", ref=["TTGTTCGATTGTTCGA"], reads=["TTGTTCGT"], **_QXS),
+    dict(name="xs 2 below min", ref=["TTGTTCGATTGTTCGA"],
+         reads=["TTGTTCGT"], seed_len=7, ival=SimpleFunc.parse("C,1,0"),
+         score_min=SimpleFunc.parse("C,-5,0")),
+    dict(name="xs 3a", ref=["TTGTTCGATTGTTCGT"], reads=["TTGTTCGT"], **_QXS),
+    dict(name="xs 3b seed52", ref=["TTGTTCGATTGTTCGT"], reads=["TTGTTCGT"],
+         seed=52, **_QXS),
+    dict(name="xs 3c seed53 M2", ref=["TTGTTCGATTGTTCGT"],
+         reads=["TTGTTCGT"], seed=53, **dict(_QXS, mhits=2)),
+    dict(name="xs 4a seed53", ref=["TTGTTCAATTGTTCGATTGTTCGT"],
+         reads=["TTGTTCGT"], seed=53, seed_len=6,
+         ival=SimpleFunc.parse("C,1,0"), mhits=2,
+         score_min=SimpleFunc.parse("C,-12,0")),
+    dict(name="xs 4b seed54 M3", ref=["TTGTTCAATTGTTCGATTGTTCGT"],
+         reads=["TTGTTCGT"], seed=54, seed_len=6,
+         ival=SimpleFunc.parse("C,1,0"), mhits=3,
+         score_min=SimpleFunc.parse("C,-12,0")),
+    dict(name="xs 5a tandem", ref=["TTGTTCAATTGTTCGATTGTTCGT"
+                                   + "TTGTTCAA" * 12],
+         reads=["TTGTTCGT"], seed=54, seed_len=6,
+         ival=SimpleFunc.parse("C,1,1"), mhits=1,
+         score_min=SimpleFunc.parse("C,-12,0")),
+    dict(name="xs 5b tandem L5", ref=["TTGTTCAATTGTTCGATTGTTCGT"
+                                      + "TTGTTCAA" * 12],
+         reads=["TTGTTCGT"], seed=55, seed_len=5,
+         ival=SimpleFunc.parse("C,1,1"), mhits=1,
+         score_min=SimpleFunc.parse("C,-12,0")),
+    dict(name="default M1 multimap", ref=["TTGTTCGTTTGTTCGT"],
+         reads=["TTGTTCGT"], mhits=1),
+    # BWA-SW-like preset (--bwa-sw-like)
+    dict(name="bwa-sw-like exact", bwa_sw_like=True,
+         ref=["GTTTAGATTCCACTACGCTAACCATCGAGAACTCGTCTCAGAGTTTCGATAGG"
+              "AAAATCTGCGA"],
+         reads=["TAGATTCCACTACGCTAACCATCGAGAACTCGTCTCAGAGTTTCGATAGGAAAATC"]),
+    dict(name="bwa-sw-like 2mm L18", bwa_sw_like=True, seed_len=18,
+         ref=["GTTTAGATTCCACTACGCTAACCATCGAGAACTCGTCTCAGAGTTTCGATAGG"
+              "AAAATCTGCGA"],
+         reads=["TAGATTCCACTACGCTAACCATCGAGTTCTCGTCTCAGAGTTTCGATAGGAAAATC"]),
+    dict(name="bwa-sw-like del iC1", bwa_sw_like=True,
+         ival=SimpleFunc.parse("C,1,0"),
+         ref=["GTTTAGATTCCACTACGCTAACCATCGAGAACTCGTCTCAGAGTTTCGATAGG"
+              "AAAATCTGCGA"],
+         reads=["TAGATTCCACTACGCTAACCATCGAG"
+                "TCGTCTCAGAGTTTCGATAGGAAAATC"]),
+    # PE: unmapped mate inherits the mapped mate's reference coords
+    dict(name="PE unmapped mate ref info", ref=[
+        "CATCGACTGAGACTCGTACGACAATTACGCGCATTATTCGCATCACCAGCGCGGCGCGC"
+        "GCCCCCTAT"],
+        pairs=[("ATCGACTGAGACTCGTACGACAATTAC", "TAGGTTTCGCGCGAAACGCTGGTGAT")]),
+]
+
+
 FIELDS = (0, 1, 2, 3, 4, 5, 6, 7, 8)   # qname..tlen
 
 
@@ -529,6 +638,10 @@ def _ref_align(case, tmp):
         args += ["-3", str(case["trim3"])]
     if case.get("phred64"):
         args.append("--phred64")
+    if case.get("seed") is not None:
+        args += ["--seed", str(case["seed"])]
+    if case.get("bwa_sw_like"):
+        args.append("--bwa-sw-like")
 
     def q_of(spec):
         if isinstance(spec, tuple):
@@ -590,6 +703,14 @@ def _our_align(case):
         kw["mhits"] = 0
     if case.get("mhits"):
         kw["mhits"] = case["mhits"]
+    if case.get("seed") is not None:
+        kw["rng_seed"] = case["seed"]
+    if case.get("bwa_sw_like"):
+        # mirrors the CLI expansion (bt2_search.cpp:1114-1125)
+        kw.update(bwa_sw_like=True, match_bonus=1, mm_pen_max=3,
+                  mm_pen_min=3, read_gap_open=5, read_gap_extend=2,
+                  ref_gap_open=5, ref_gap_extend=2)
+        case = dict(case, local=True)
     if case.get("mapq_v"):
         kw["mapq_v"] = case["mapq_v"]
     if case.get("dovetail"):
